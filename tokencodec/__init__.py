@@ -1,0 +1,18 @@
+"""tokencodec — a PySpark-native per-column lightweight-compression engine.
+
+Built from scratch (NOT a port) with the query/data-processing
+capabilities of the reference `yigitozkavci/parquet-hs` (a Haskell
+streaming Parquet decoder, see SURVEY.md): columnar encode *and*
+decode for dictionary, RLE/bit-packed hybrid, bit-packing,
+frame-of-reference, delta and FSST codecs, with per-chunk codec
+auto-selection from sampled statistics.
+
+Layout:
+  codecs/      pure-numpy codec kernels (no Spark imports)
+  pageformat   binary page envelope (header + payload) and column codecs
+  stats        sampled per-chunk statistics
+  select       deterministic cost model: stats -> codec choice
+  spark/       synth data gen, partitioning, encode/decode jobs, resume
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,25 @@
+"""Pure-numpy codec kernels. No Spark imports allowed in this package."""
+
+from tokencodec.codecs import bitpack, dictionary, delta, for_, plain, rle, varint  # noqa: F401
+
+# Codec ids used in page headers (stable — persisted on disk).
+PLAIN = 0
+BITPACK = 1
+RLE = 2  # parquet-style RLE / bit-packed hybrid
+DICT = 3
+FOR = 4
+DELTA = 5
+FSST = 6
+CONSTANT = 7  # degenerate single-value page (header-only)
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    BITPACK: "bitpack",
+    RLE: "rle",
+    DICT: "dict",
+    FOR: "for",
+    DELTA: "delta",
+    FSST: "fsst",
+    CONSTANT: "constant",
+}
+NAME_TO_CODEC = {v: k for k, v in CODEC_NAMES.items()}

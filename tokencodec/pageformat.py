@@ -1,0 +1,225 @@
+"""Binary page format: envelope header + codec payload.
+
+Our analog of the reference's PageHeader
+(/root/reference/src/Parquet/Types/PageHeader.hs:63-73): a fixed
+32-byte little-endian header carrying codec id, value kind, bit width,
+value count, frame-of-reference value, raw/payload sizes and a CRC —
+plus the same validation discipline as the reference's page-byte
+accounting (`validate_consumed_page_bytes`,
+/root/reference/src/Parquet/Stream/Reader.hs:349-353).
+
+Int pages (value_kind 0=int32, 1=int64): payload per codecs/*.
+String pages (value_kind 2): decomposed into a lengths int page plus a
+data-bytes stream (PLAIN / FSST / DICT) — the columnar equivalent of
+the reference's BYTE_ARRAY layout (u32-LE length prefix + bytes,
+/root/reference/src/Parquet/Stream/Reader.hs:195-201) with lengths
+hoisted into their own compressible stream.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from tokencodec import codecs, select, stats
+from tokencodec.codecs import bitpack, delta, dictionary, for_, fsst, plain, rle
+
+MAGIC = b"TCP1"
+_HEADER = struct.Struct("<4sBBBBIqIII")
+HEADER_SIZE = _HEADER.size  # 32
+
+KIND_INT32 = 0
+KIND_INT64 = 1
+KIND_STRING = 2
+
+_NP_KIND = {KIND_INT32: np.int32, KIND_INT64: np.int64}
+
+
+def _wrap(codec: int, kind: int, bw: int, n: int, ref: int, raw_size: int,
+          payload: bytes) -> bytes:
+    header = _HEADER.pack(MAGIC, codec, kind, bw, 0, n, ref, raw_size,
+                          len(payload), zlib.crc32(payload))
+    return header + payload
+
+
+def read_header(buf: bytes | memoryview) -> dict:
+    magic, codec, kind, bw, flags, n, ref, raw_size, plen, crc = _HEADER.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ValueError("bad page magic")
+    return {"codec": codec, "codec_name": codecs.CODEC_NAMES[codec], "kind": kind,
+            "bit_width": bw, "n_values": n, "ref": ref, "raw_size": raw_size,
+            "payload_len": plen, "crc": crc}
+
+
+# ---------------------------------------------------------------- int pages
+
+def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,
+                    codec: int | None = None) -> bytes:
+    """Auto-select (or force) a codec and encode one int page."""
+    v = values.astype(np.int64, copy=False)
+    n = len(v)
+    raw_size = n * (4 if kind == KIND_INT32 else 8)
+    st = stats.int_stats(v)
+    if codec is None:
+        codec = select.choose_int_codec(st, kind)
+
+    if codec == codecs.CONSTANT:
+        return _wrap(codec, kind, 0, n, st.vmin, raw_size, b"")
+    if codec == codecs.PLAIN:
+        return _wrap(codec, kind, 0, n, 0, raw_size, plain.encode(v, kind))
+    if codec == codecs.BITPACK:
+        bw = bitpack.width_for(st.vmax)
+        return _wrap(codec, kind, bw, n, 0, raw_size, bitpack.pack_le(v.astype(np.uint64), bw))
+    if codec == codecs.FOR:
+        bw = (st.vmax - st.vmin).bit_length()
+        return _wrap(codec, kind, bw, n, st.vmin, raw_size, for_.encode(v, st.vmin, bw))
+    if codec == codecs.RLE:
+        bw = bitpack.width_for(st.vmax)
+        return _wrap(codec, kind, bw, n, 0, raw_size, rle.encode(v.astype(np.uint64), bw))
+    if codec == codecs.DELTA:
+        payload, first, bw = delta.encode(v)
+        return _wrap(codec, kind, bw, n, first, raw_size, payload)
+    if codec == codecs.DICT:
+        payload, _ = dictionary.encode(v)
+        return _wrap(codec, kind, 0, n, 0, raw_size, payload)
+    raise ValueError(f"unknown int codec {codec}")
+
+
+def decode_int_page(buf: bytes | memoryview, check_crc: bool = True) -> np.ndarray:
+    h = read_header(buf)
+    mv = memoryview(buf)[HEADER_SIZE:HEADER_SIZE + h["payload_len"]]
+    if len(mv) != h["payload_len"]:
+        raise ValueError("truncated page payload")
+    if check_crc and zlib.crc32(mv) != h["crc"]:
+        raise ValueError("page crc mismatch")
+    codec, n, bw, ref = h["codec"], h["n_values"], h["bit_width"], h["ref"]
+    if codec == codecs.CONSTANT:
+        out = np.full(n, ref, dtype=np.int64)
+    elif codec == codecs.PLAIN:
+        out = plain.decode(mv, h["kind"], n).astype(np.int64)
+    elif codec == codecs.BITPACK:
+        out = bitpack.unpack_le(mv, bw, n).astype(np.int64)
+    elif codec == codecs.FOR:
+        out = for_.decode(mv, ref, bw, n)
+    elif codec == codecs.RLE:
+        out = rle.decode(mv, bw, n).astype(np.int64)
+    elif codec == codecs.DELTA:
+        out = delta.decode(mv, ref, bw, n)
+    elif codec == codecs.DICT:
+        out = dictionary.decode(mv, n)
+    else:
+        raise ValueError(f"unknown int codec {codec}")
+    return out.astype(_NP_KIND[h["kind"]], copy=False)
+
+
+# ------------------------------------------------------------- string pages
+# String column = (offsets int64[n+1], data bytes). Codecs:
+#   PLAIN: lengths int page + raw data bytes
+#   FSST : lengths int page + fsst(data)
+#   DICT : indices int page + uniques string page (PLAIN or FSST)
+
+_STR_DICT_MAX_FRACTION = 0.5
+
+
+def encode_string_page(offsets: np.ndarray, data: bytes | np.ndarray,
+                       codec: int | None = None, _allow_dict: bool = True) -> bytes:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(offsets) - 1
+    data_np = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, memoryview)) else data
+    raw_size = len(data_np) + 4 * n
+
+    if codec is None and _allow_dict and n > 16:
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offsets.astype(np.int64, copy=False)), pa.py_buffer(data_np)])
+        dict_arr = pc.dictionary_encode(arr)
+        card = len(dict_arr.dictionary)
+        if card <= n * _STR_DICT_MAX_FRACTION:
+            codec = codecs.DICT
+            indices = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uo, ud = _arrow_str_buffers(dict_arr.dictionary)
+            idx_page = encode_int_page(indices, KIND_INT32)
+            uniq_page = encode_string_page(uo, ud, _allow_dict=False)
+            payload = struct.pack("<I", len(idx_page)) + idx_page + uniq_page
+            return _wrap(codecs.DICT, KIND_STRING, 0, n, 0, raw_size, payload)
+
+    lengths = np.diff(offsets.astype(np.int64, copy=False))
+    len_page = encode_int_page(lengths, KIND_INT32)
+
+    if codec is None:
+        # trial-encode FSST (deterministic, content-only); keep if smaller
+        if len(data_np) >= 64:
+            table = fsst.train(data_np)
+            f_payload = fsst.encode(data_np, table)
+            if len(f_payload) < 0.9 * len(data_np):
+                payload = struct.pack("<I", len(len_page)) + len_page + f_payload
+                return _wrap(codecs.FSST, KIND_STRING, 0, n, len(data_np), raw_size, payload)
+        codec = codecs.PLAIN
+
+    if codec == codecs.PLAIN:
+        payload = struct.pack("<I", len(len_page)) + len_page + data_np.tobytes()
+        return _wrap(codecs.PLAIN, KIND_STRING, 0, n, len(data_np), raw_size, payload)
+    if codec == codecs.FSST:
+        table = fsst.train(data_np)
+        f_payload = fsst.encode(data_np, table)
+        payload = struct.pack("<I", len(len_page)) + len_page + f_payload
+        return _wrap(codecs.FSST, KIND_STRING, 0, n, len(data_np), raw_size, payload)
+    raise ValueError(f"unknown string codec {codec}")
+
+
+def _arrow_str_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string/binary array -> (int64 offsets, uint8 data)."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(arr.type):
+        raise ValueError("unexpected dictionary array")
+    buffers = arr.buffers()
+    width = 8 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else 4
+    off_dtype = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    data = data[offsets[0]: offsets[-1]]
+    if offsets[0] != 0:
+        offsets = offsets - offsets[0]
+    return offsets, data
+
+
+def decode_string_page(buf: bytes | memoryview, check_crc: bool = True) -> tuple[np.ndarray, bytes]:
+    """-> (offsets int64[n+1], data bytes)."""
+    h = read_header(buf)
+    if h["kind"] != KIND_STRING:
+        raise ValueError("not a string page")
+    mv = memoryview(buf)[HEADER_SIZE:HEADER_SIZE + h["payload_len"]]
+    if check_crc and zlib.crc32(mv) != h["crc"]:
+        raise ValueError("page crc mismatch")
+    codec, n = h["codec"], h["n_values"]
+    if codec == codecs.DICT:
+        (idx_len,) = struct.unpack_from("<I", mv, 0)
+        idx = decode_int_page(mv[4:4 + idx_len], check_crc=check_crc).astype(np.int64)
+        uo, ud = decode_string_page(mv[4 + idx_len:], check_crc=check_crc)
+        udata = np.frombuffer(ud, dtype=np.uint8)
+        lens = np.diff(uo)
+        out_lens = lens[idx]
+        starts = uo[:-1][idx]
+        total = int(out_lens.sum())
+        prefix = np.zeros(len(out_lens), dtype=np.int64)
+        np.cumsum(out_lens[:-1], out=prefix[1:])
+        flat = np.repeat(starts - prefix, out_lens) + np.arange(total, dtype=np.int64)
+        data = udata[flat].tobytes() if total else b""
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=offsets[1:])
+        return offsets, data
+    (len_len,) = struct.unpack_from("<I", mv, 0)
+    lengths = decode_int_page(mv[4:4 + len_len], check_crc=check_crc).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    rest = mv[4 + len_len:]
+    if codec == codecs.PLAIN:
+        return offsets, bytes(rest)
+    if codec == codecs.FSST:
+        return offsets, fsst.decode(rest, h["ref"])
+    raise ValueError(f"unknown string codec {codec}")
