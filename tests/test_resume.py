@@ -1,0 +1,87 @@
+"""Resume-from-snapshot and determinism-under-parallelism tests
+(SURVEY.md §5.3.4 and §7.4): a job killed after a partial commit must
+resume and converge to the exact same final table, and chunk bytes must
+not depend on partition count (N vs 4N equivalence)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tokencodec.spark import encode_job, synth
+from tokencodec.spark.table import SnapshotTable
+
+N_ROWS = 600
+SEED = 7
+
+
+def _fingerprint(spark, root):
+    pages = encode_job.read_pages(spark, root)
+    rows = (pages
+            .withColumn("h", F.md5(F.concat("page_tokens", "page_doc_id",
+                                            "page_n_tok", "page_source")))
+            .select("chunk_uid", "h").collect())
+    return sorted((r.chunk_uid, r.h) for r in rows)
+
+
+def test_resume_after_partial_commit(spark, tmp_path, monkeypatch):
+    df = synth.token_table(spark, N_ROWS, seed=SEED)
+    root_a = str(tmp_path / "partial")
+    root_b = str(tmp_path / "full")
+
+    # full reference run
+    encode_job.encode(spark, df, root_b, commit_groups=2, max_chunk_tokens=1 << 17)
+
+    # run that dies after the first group commit
+    real_commit = SnapshotTable.commit
+    calls = {"n": 0}
+
+    def dying_commit(self, groups, metrics=None):
+        out = real_commit(self, groups, metrics)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected failure after first commit")
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        encode_job.encode(spark, df, root_a, commit_groups=2, max_chunk_tokens=1 << 17)
+    monkeypatch.setattr(SnapshotTable, "commit", real_commit)
+
+    snap = SnapshotTable(root_a).current_snapshot()
+    assert snap["snapshot_id"] == 0 and len(snap["groups"]) == 1
+
+    # resume: only the missing group is re-run
+    encode_job.encode(spark, df, root_a, commit_groups=2, max_chunk_tokens=1 << 17)
+    snap2 = SnapshotTable(root_a).current_snapshot()
+    assert snap2["snapshot_id"] == 1 and len(snap2["groups"]) == 2
+    assert snap2["new_groups"] != snap["new_groups"]
+
+    assert _fingerprint(spark, root_a) == _fingerprint(spark, root_b)
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    df = synth.token_table(spark, 200, seed=SEED)
+    root = str(tmp_path / "noop")
+    encode_job.encode(spark, df, root, commit_groups=1)
+    snap = SnapshotTable(root).current_snapshot()
+    encode_job.encode(spark, df, root, commit_groups=1)
+    assert SnapshotTable(root).current_snapshot()["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_deterministic_across_parallelism(spark, tmp_path):
+    """Same input at different partition counts -> byte-identical chunks.
+    This is what makes the N vs 4N scaling runs comparable."""
+    df = synth.token_table(spark, N_ROWS, seed=SEED)
+    fps = []
+    for p, tag in [(2, "p2"), (8, "p8")]:
+        root = str(tmp_path / tag)
+        encode_job.encode(spark, df, root, commit_groups=1,
+                          max_chunk_tokens=1 << 17, partitions=p)
+        fps.append(_fingerprint(spark, root))
+    assert fps[0] == fps[1]
+
+
+def test_synth_partition_independent(spark):
+    a = synth.token_table(spark, 300, seed=3, partitions=1)
+    b = synth.token_table(spark, 300, seed=3, partitions=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

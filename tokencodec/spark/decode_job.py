@@ -1,0 +1,70 @@
+"""Decode job: encoded pages table -> original token table, exact inverse.
+
+Mirrors the reference's record reassembly but columnar: where
+parquet-hs zips per-column value streams and folds Dremel instructions
+into row objects (/root/reference/src/Parquet/Reader.hs:563-606), we
+decode each column page vectorized and rebuild the `tokens` list column
+directly from the n_tok prefix sums via
+`pa.ListArray.from_arrays(offsets, values)` — no rep/def levels needed
+for the flat+array schema (SURVEY.md §2a op #17-19).
+
+`audit` is the engine's analog of the golden round-trip assert
+(/root/reference/tests/integration/Spec.hs:96-98): per-row token-array
+equality, checked distributed via exceptAll in both directions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tokencodec import pageformat
+from tokencodec.spark.encode_job import read_pages
+from tokencodec.spark.synth import SCHEMA_DDL
+
+_PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
+
+
+def _decode_chunk(p_tokens: bytes, p_doc: bytes, p_ntok: bytes,
+                  p_src: bytes) -> pa.RecordBatch:
+    ntok = pageformat.decode_int_page(p_ntok)
+    values = pageformat.decode_int_page(p_tokens)
+    n = len(ntok)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(ntok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pa.array(values, type=pa.int32()))
+    do, dd = pageformat.decode_string_page(p_doc)
+    so, sd = pageformat.decode_string_page(p_src)
+    doc_id = pa.Array.from_buffers(pa.large_string(), n,
+                                   [None, pa.py_buffer(do), pa.py_buffer(dd)]).cast(pa.string())
+    source = pa.Array.from_buffers(pa.large_string(), n,
+                                   [None, pa.py_buffer(so), pa.py_buffer(sd)]).cast(pa.string())
+    return pa.RecordBatch.from_arrays(
+        [doc_id, tokens, pa.array(ntok.astype(np.int32), type=pa.int32()), source],
+        names=["doc_id", "tokens", "n_tok", "source"])
+
+
+def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        cols = [batch.column(idx[c]) for c in _PAGE_COLS]
+        for r in range(batch.num_rows):
+            yield _decode_chunk(*(c[r].as_py() for c in cols))
+
+
+def decode(spark: SparkSession, root: str) -> DataFrame:
+    pages = read_pages(spark, root)
+    # column pruning: only the binary pages cross the Arrow boundary
+    return pages.select(_PAGE_COLS).mapInArrow(decode_batches, SCHEMA_DDL)
+
+
+def audit(original: DataFrame, decoded: DataFrame) -> dict:
+    """Distributed per-row equality (token-array equality invariant)."""
+    missing = original.exceptAll(decoded).count()
+    extra = decoded.exceptAll(original).count()
+    return {"missing": missing, "extra": extra, "ok": missing == 0 and extra == 0}

@@ -1,0 +1,221 @@
+"""Encode job: token table -> encoded pages + lineage + metrics, with
+snapshot commits.
+
+Pipeline (SURVEY.md §3 "our engine's lifecycle"):
+  source df -> add (bucket, salt) [no shuffle] -> hash repartition on
+  (bucket, salt) [the ONLY shuffle] -> sortWithinPartitions ->
+  mapInArrow vectorized encode [JVM->Python Arrow boundary] -> parquet
+  write into a run dir -> snapshot commit [atomic manifest rename].
+
+Buckets are split into ``commit_groups`` groups (bucket % groups), each
+written+committed separately, so a killed job resumes from the last
+committed snapshot re-doing only missing groups.
+
+One output row per chunk: four encoded pages (tokens / doc_id / n_tok /
+source — our analog of the reference's column chunks,
+/root/reference/src/Parquet/Types/ColumnChunk.hs:19-30) plus lineage
+(bucket, salt, chunk_seq, doc-id range) and size metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tokencodec import codecs, pageformat
+from tokencodec.spark import partition as part
+from tokencodec.spark.table import SnapshotTable
+
+PAGES_DDL = (
+    "bucket int, salt int, chunk_seq int, chunk_uid string, "
+    "n_rows int, n_tokens bigint, doc_id_min string, doc_id_max string, "
+    "tokens_codec string, doc_id_codec string, n_tok_codec string, source_codec string, "
+    "raw_bytes bigint, enc_bytes bigint, "
+    "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary"
+)
+
+_COLS = ["doc_id", "tokens", "n_tok", "source", "bucket", "salt"]
+
+
+def _str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pageformat._arrow_str_buffers(arr)
+
+
+def _encode_chunk(bucket: int, salt: int, seq: int,
+                  doc_id: pa.Array, tok_values: np.ndarray,
+                  n_tok: np.ndarray, source: pa.Array) -> dict:
+    p_tokens = pageformat.encode_int_page(tok_values, pageformat.KIND_INT32)
+    p_ntok = pageformat.encode_int_page(n_tok, pageformat.KIND_INT32)
+    do, dd = _str_buffers(doc_id)
+    p_doc = pageformat.encode_string_page(do, dd)
+    so, sd = _str_buffers(source)
+    p_src = pageformat.encode_string_page(so, sd)
+    heads = [pageformat.read_header(p) for p in (p_tokens, p_doc, p_ntok, p_src)]
+    raw = sum(h["raw_size"] for h in heads)
+    enc = sum(len(p) for p in (p_tokens, p_doc, p_ntok, p_src))
+    n_rows = len(n_tok)
+    return {
+        "bucket": bucket, "salt": salt, "chunk_seq": seq,
+        "chunk_uid": f"b{bucket:02d}-s{salt:04d}-c{seq:06d}",
+        "n_rows": n_rows, "n_tokens": int(len(tok_values)),
+        "doc_id_min": doc_id[0].as_py() if n_rows else "",
+        "doc_id_max": doc_id[n_rows - 1].as_py() if n_rows else "",
+        "tokens_codec": heads[0]["codec_name"], "doc_id_codec": heads[1]["codec_name"],
+        "n_tok_codec": heads[2]["codec_name"], "source_codec": heads[3]["codec_name"],
+        "raw_bytes": raw, "enc_bytes": enc,
+        "page_tokens": p_tokens, "page_doc_id": p_doc,
+        "page_n_tok": p_ntok, "page_source": p_src,
+    }
+
+
+def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    arrays = []
+    names = []
+    types = {
+        "bucket": pa.int32(), "salt": pa.int32(), "chunk_seq": pa.int32(),
+        "chunk_uid": pa.string(), "n_rows": pa.int32(), "n_tokens": pa.int64(),
+        "doc_id_min": pa.string(), "doc_id_max": pa.string(),
+        "tokens_codec": pa.string(), "doc_id_codec": pa.string(),
+        "n_tok_codec": pa.string(), "source_codec": pa.string(),
+        "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
+        "page_tokens": pa.binary(), "page_doc_id": pa.binary(),
+        "page_n_tok": pa.binary(), "page_source": pa.binary(),
+    }
+    for k, t in types.items():
+        names.append(k)
+        arrays.append(pa.array(cols[k], type=t))
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS):
+    """mapInArrow function: bucketed batches -> encoded chunk rows.
+
+    Carries buffered rows across Arrow batches inside one Spark
+    partition; chunk boundaries depend only on the deterministic
+    (bucket, salt, n_tok, doc_id) order, never on Arrow batch sizes.
+    """
+
+    def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_key: tuple[int, int] | None = None
+        seq = 0
+        buf_doc: list[pa.Array] = []
+        buf_vals: list[np.ndarray] = []
+        buf_ntok: list[np.ndarray] = []
+        buf_src: list[pa.Array] = []
+        buf_tokens = 0
+        out_rows: list[dict] = []
+
+        def flush_chunk():
+            nonlocal buf_doc, buf_vals, buf_ntok, buf_src, buf_tokens, seq
+            if not buf_ntok:
+                return
+            doc = pa.concat_arrays(buf_doc) if len(buf_doc) > 1 else buf_doc[0]
+            src = pa.concat_arrays(buf_src) if len(buf_src) > 1 else buf_src[0]
+            vals = np.concatenate(buf_vals) if len(buf_vals) > 1 else buf_vals[0]
+            ntok = np.concatenate(buf_ntok) if len(buf_ntok) > 1 else buf_ntok[0]
+            out_rows.append(_encode_chunk(cur_key[0], cur_key[1], seq, doc, vals, ntok, src))
+            seq += 1
+            buf_doc, buf_vals, buf_ntok, buf_src = [], [], [], []
+            buf_tokens = 0
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            bucket = cols["bucket"].to_numpy(zero_copy_only=False)
+            salt = cols["salt"].to_numpy(zero_copy_only=False)
+            ntok = cols["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tokens = cols["tokens"]
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            t_offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            t_values = tokens.values.to_numpy(zero_copy_only=False)
+            n = len(ntok)
+            # segment by (bucket, salt) change — sorted, so contiguous
+            key_change = np.flatnonzero((bucket[1:] != bucket[:-1]) | (salt[1:] != salt[:-1])) + 1
+            seg_starts = np.concatenate(([0], key_change, [n])).astype(np.int64)
+            for si in range(len(seg_starts) - 1):
+                a, b = int(seg_starts[si]), int(seg_starts[si + 1])
+                key = (int(bucket[a]), int(salt[a]))
+                if key != cur_key:
+                    flush_chunk()
+                    cur_key = key
+                    seq = 0
+                # slice segment into chunks by token budget (cumsum once)
+                cs = np.cumsum(ntok[a:b])
+                i = a
+                while i < b:
+                    base = int(cs[i - a - 1]) if i > a else 0
+                    room = max_chunk_tokens - buf_tokens
+                    j = a + int(np.searchsorted(cs, base + room, side="right"))
+                    if j == i:  # nothing fits
+                        if buf_tokens:
+                            flush_chunk()
+                            continue
+                        j = i + 1  # oversized single doc -> own chunk
+                    buf_doc.append(cols["doc_id"].slice(i, j - i))
+                    buf_src.append(cols["source"].slice(i, j - i))
+                    buf_vals.append(t_values[t_offsets[i]:t_offsets[j]])
+                    buf_ntok.append(ntok[i:j])
+                    buf_tokens += int(cs[j - a - 1]) - base
+                    if buf_tokens >= max_chunk_tokens:
+                        flush_chunk()
+                    i = j
+            if out_rows:
+                yield _rows_to_batch(out_rows)
+                out_rows = []
+        flush_chunk()
+        if out_rows:
+            yield _rows_to_batch(out_rows)
+
+    return encode_batches
+
+
+def encode(spark: SparkSession, df: DataFrame, out_root: str,
+           commit_groups: int = 2, n_salts: int = part.DEFAULT_SALTS,
+           max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+           partitions: int | None = None) -> DataFrame:
+    """Run the encode pipeline with snapshot commits; returns pages DF."""
+    tbl = SnapshotTable(out_root)
+    done = set(tbl.committed_groups())
+    encoder = make_encoder(max_chunk_tokens)
+    for g in range(commit_groups):
+        key = f"g{g}"
+        if key in done:
+            continue
+        t0 = time.time()
+        sub = df if commit_groups == 1 else df.filter(
+            F.pmod(F.length(F.bin(F.col("n_tok"))), F.lit(commit_groups)) == g)
+        bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
+        pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+        run_dir = tbl.new_run_dir()
+        pages.write.mode("overwrite").parquet(run_dir)
+        wall = time.time() - t0
+        written = spark.read.parquet(run_dir)
+        m = written.agg(
+            F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"), F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes")).collect()[0].asDict()
+        m = {k: int(v or 0) for k, v in m.items()}
+        m["wall_sec"] = round(wall, 3)
+        m["tokens_per_sec"] = round(m["n_tokens"] / wall, 1) if wall > 0 else None
+        tbl.commit({key: [run_dir]}, metrics=m)
+    return read_pages(spark, out_root)
+
+
+def read_pages(spark: SparkSession, root: str) -> DataFrame:
+    tbl = SnapshotTable(root)
+    paths = tbl.data_paths()
+    if not paths:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return spark.read.parquet(*paths)
