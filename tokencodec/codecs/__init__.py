@@ -11,6 +11,7 @@ FOR = 4
 DELTA = 5
 FSST = 6
 CONSTANT = 7  # degenerate single-value page (header-only)
+GROUPED = 8  # per-document class groups, one sub-page each (grouped.py)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -21,5 +22,6 @@ CODEC_NAMES = {
     DELTA: "delta",
     FSST: "fsst",
     CONSTANT: "constant",
+    GROUPED: "grouped",
 }
 NAME_TO_CODEC = {v: k for k, v in CODEC_NAMES.items()}

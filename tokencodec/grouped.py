@@ -1,0 +1,216 @@
+"""Grouped token-column codec: per-document class assignment + one
+auto-selected sub-page per class.
+
+Why: a chunk holds many documents with heterogeneous token
+distributions (code vs prose vs tables; in FIXTURES.md terms the F1a
+profiles). A single codec per chunk is forced to the worst-case bit
+width — e.g. one monotone document with values up to 2^20 drags an
+otherwise 16-bit-packable chunk to 21 bits. Grouping documents by a
+cheap vectorized signature and encoding each group with its own
+auto-selected page recovers per-profile-optimal sizes while keeping
+pages big enough to amortize headers.
+
+All per-doc statistics are computed with reduceat/cumsum tricks — no
+per-row Python (BASELINE.json input_hint).
+
+Page layout (codec id GROUPED, kind INT32) — self-contained:
+    u32 ids_len   | ids page   (group id per document, int page)
+    u32 lens_len  | lens page  (n_tok per document, int page)
+    u16 n_groups
+    per group: u8 is_delta_doc | u32 sub_len | sub page
+
+DELTA_DOC sub pages restart the delta chain at every document boundary
+(doc-first values in their own small page) so cross-document jumps
+never inflate the diff bit width:
+    u32 firsts_len | firsts page (int page) | u8 bw | hybrid(zigzag in-doc diffs)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from tokencodec import pageformat
+from tokencodec.codecs import delta as delta_codec
+from tokencodec.codecs import rle
+
+MIN_DOCS_FOR_GROUPING = 4
+
+# class keys (sorted tuples -> deterministic group ids)
+_CLS_RUNS = (0, 0)
+_CLS_DELTA = (1, 0)
+_CLS_LOWCARD = (2, 0)
+
+
+def _doc_stats(values: np.ndarray, offsets: np.ndarray):
+    """Vectorized per-document stats. offsets: int64[n_docs+1]."""
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    lens = ends - starts
+    nz = lens > 0
+    dmax = np.zeros(len(lens), dtype=np.int64)
+    dmin = np.zeros(len(lens), dtype=np.int64)
+    if nz.any():
+        dmax[nz] = np.maximum.reduceat(values, starts[nz])
+        dmin[nz] = np.minimum.reduceat(values, starts[nz])
+    # changes + sortedness inside each doc via cumsum of pairwise flags
+    if len(values) > 1:
+        neq = np.concatenate(([0], (values[1:] != values[:-1]).astype(np.int64)))
+        le = np.concatenate(([0], (values[1:] >= values[:-1]).astype(np.int64)))
+        cn = np.cumsum(neq)
+        cl = np.cumsum(le)
+        # flags at doc boundary positions don't count: subtract boundary flag
+        last = np.maximum(ends - 1, starts)
+        changes = cn[last] - cn[starts]
+        nondecr = (cl[last] - cl[starts]) == np.maximum(lens - 1, 0)
+    else:
+        changes = np.zeros(len(lens), dtype=np.int64)
+        nondecr = np.ones(len(lens), dtype=bool)
+    # distinct among first <=32 tokens: windowed sort
+    k = 32
+    win = np.zeros((len(lens), k), dtype=np.int64)
+    take = np.minimum(lens, k)
+    flat_idx = np.repeat(starts, take) + (
+        np.arange(int(take.sum())) - np.repeat(np.concatenate(([0], np.cumsum(take)[:-1])), take))
+    rows = np.repeat(np.arange(len(lens)), take)
+    cols = np.arange(int(take.sum())) - np.repeat(np.concatenate(([0], np.cumsum(take)[:-1])), take)
+    win[:] = np.int64(-1)
+    win[rows, cols] = values[flat_idx]
+    sw = np.sort(win, axis=1)
+    card32 = (sw[:, 1:] != sw[:, :-1]).sum(axis=1) + 1 - (take < k)  # approx
+    return lens, dmin, dmax, changes, nondecr, np.maximum(card32, 1)
+
+
+def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """-> int64[n_docs] group key encoded as cls*64 + param."""
+    lens, dmin, dmax, changes, nondecr, card32 = _doc_stats(values, offsets)
+    range_bits = np.zeros(len(lens), dtype=np.int64)
+    rng = dmax - dmin
+    m = rng > 0
+    range_bits[m] = np.floor(np.log2(rng[m])).astype(np.int64) + 1
+
+    keys = 3 * 64 + range_bits  # default: range class (FOR/bitpack)
+    keys[card32 <= 24] = _CLS_LOWCARD[0] * 64
+    keys[nondecr & (lens >= 16) & (changes > 0)] = _CLS_DELTA[0] * 64
+    keys[(changes * 3 < np.maximum(lens - 1, 1)) | (changes == 0)] = _CLS_RUNS[0] * 64
+    return keys
+
+
+def _gather_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    prefix = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.repeat(starts - prefix, lens) + np.arange(total, dtype=np.int64)
+
+
+def encode_delta_doc(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)))
+    starts = offsets[:-1][doc_lengths > 0]
+    firsts = values[starts]
+    t = np.diff(values, prepend=np.int64(0))
+    t[starts] = 0  # doc firsts carried separately
+    zz = delta_codec.zigzag(t)
+    bw = int(zz.max(initial=0)).bit_length()
+    firsts_page = pageformat.encode_int_page(firsts, pageformat.KIND_INT32)
+    body = rle.encode(zz, bw)
+    return struct.pack("<I", len(firsts_page)) + firsts_page + bytes([bw]) + body
+
+
+def decode_delta_doc(buf: bytes | memoryview, doc_lengths: np.ndarray) -> np.ndarray:
+    mv = memoryview(buf)
+    (flen,) = struct.unpack_from("<I", mv, 0)
+    firsts = pageformat.decode_int_page(mv[4:4 + flen]).astype(np.int64)
+    bw = mv[4 + flen]
+    n = int(doc_lengths.sum())
+    zz = rle.decode(mv[5 + flen:], bw, n)
+    t = delta_codec.unzigzag(zz)
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)))
+    starts = offsets[:-1][doc_lengths > 0]
+    t[starts] = firsts
+    # segmented cumsum: cumsum(t) minus the prefix accumulated before
+    # each document's start — every doc restarts at its own first value
+    c = np.cumsum(t)
+    seg = np.zeros(len(t), dtype=np.int64)
+    seg[starts] = 1
+    grp = np.cumsum(seg) - 1
+    base = np.concatenate(([0], c))[starts]  # c[start-1], 0 for start==0
+    return c - base[grp]
+
+
+def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
+    """Auto: single page when homogeneous, grouped page when mixed."""
+    values = values.astype(np.int64, copy=False)
+    n_docs = len(doc_lengths)
+    if n_docs < MIN_DOCS_FOR_GROUPING:
+        return pageformat.encode_int_page(values, pageformat.KIND_INT32)
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths.astype(np.int64))))
+    keys = _doc_classes(values, offsets)
+    uniq = np.unique(keys)
+    if len(uniq) == 1 and uniq[0] != _CLS_DELTA[0] * 64:
+        return pageformat.encode_int_page(values, pageformat.KIND_INT32)
+
+    gids = np.searchsorted(uniq, keys)
+    ids_page = pageformat.encode_int_page(gids, pageformat.KIND_INT32)
+    lens_page = pageformat.encode_int_page(doc_lengths.astype(np.int64), pageformat.KIND_INT32)
+    parts = [struct.pack("<I", len(ids_page)), ids_page,
+             struct.pack("<I", len(lens_page)), lens_page,
+             struct.pack("<H", len(uniq))]
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    for g, key in enumerate(uniq):
+        d = np.flatnonzero(gids == g)
+        pos = _gather_positions(starts[d], lens[d])
+        sub_vals = values[pos]
+        if key == _CLS_DELTA[0] * 64:
+            sub = encode_delta_doc(sub_vals, lens[d])
+            is_dd = 1
+        else:
+            sub = pageformat.encode_int_page(sub_vals, pageformat.KIND_INT32)
+            is_dd = 0
+        parts.append(bytes([is_dd]))
+        parts.append(struct.pack("<I", len(sub)))
+        parts.append(sub)
+    payload = b"".join(parts)
+    single_est = pageformat.HEADER_SIZE + _single_page_estimate(values)
+    if len(payload) + pageformat.HEADER_SIZE >= single_est:
+        return pageformat.encode_int_page(values, pageformat.KIND_INT32)
+    return pageformat.wrap_grouped(payload, len(values))
+
+
+def _single_page_estimate(values: np.ndarray) -> float:
+    from tokencodec import select, stats
+    st = stats.int_stats(values)
+    return min(select.estimate_sizes(st, pageformat.KIND_INT32).values())
+
+
+def decode_tokens_column(buf: bytes | memoryview) -> np.ndarray:
+    """Decode either a plain int page or a grouped page to flat values."""
+    h = pageformat.read_header(buf)
+    if h["codec"] != pageformat.GROUPED_CODEC:
+        return pageformat.decode_int_page(buf).astype(np.int64)
+    mv = memoryview(buf)[pageformat.HEADER_SIZE:]
+    (ids_len,) = struct.unpack_from("<I", mv, 0)
+    gids = pageformat.decode_int_page(mv[4:4 + ids_len]).astype(np.int64)
+    p = 4 + ids_len
+    (lens_len,) = struct.unpack_from("<I", mv, p)
+    doc_lens = pageformat.decode_int_page(mv[p + 4:p + 4 + lens_len]).astype(np.int64)
+    p += 4 + lens_len
+    (n_groups,) = struct.unpack_from("<H", mv, p)
+    p += 2
+    offsets = np.concatenate(([0], np.cumsum(doc_lens)))
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    out = np.empty(int(doc_lens.sum()), dtype=np.int64)
+    for g in range(n_groups):
+        is_dd = mv[p]
+        (sub_len,) = struct.unpack_from("<I", mv, p + 1)
+        sub = mv[p + 5:p + 5 + sub_len]
+        p += 5 + sub_len
+        d = np.flatnonzero(gids == g)
+        if is_dd:
+            vals = decode_delta_doc(sub, lens[d])
+        else:
+            vals = pageformat.decode_int_page(sub).astype(np.int64)
+        pos = _gather_positions(starts[d], lens[d])
+        out[pos] = vals
+    return out

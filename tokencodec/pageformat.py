@@ -34,6 +34,8 @@ KIND_INT32 = 0
 KIND_INT64 = 1
 KIND_STRING = 2
 
+GROUPED_CODEC = codecs.GROUPED
+
 _NP_KIND = {KIND_INT32: np.int32, KIND_INT64: np.int64}
 
 
@@ -51,6 +53,12 @@ def read_header(buf: bytes | memoryview) -> dict:
     return {"codec": codec, "codec_name": codecs.CODEC_NAMES[codec], "kind": kind,
             "bit_width": bw, "n_values": n, "ref": ref, "raw_size": raw_size,
             "payload_len": plen, "crc": crc}
+
+
+def wrap_grouped(payload: bytes, n_values: int) -> bytes:
+    """Envelope for a grouped token page (see grouped.py)."""
+    return _wrap(codecs.GROUPED, KIND_INT32, 0, n_values,
+                 0, n_values * 4, payload)
 
 
 # ---------------------------------------------------------------- int pages
@@ -109,6 +117,9 @@ def decode_int_page(buf: bytes | memoryview, check_crc: bool = True) -> np.ndarr
         out = delta.decode(mv, ref, bw, n)
     elif codec == codecs.DICT:
         out = dictionary.decode(mv, n)
+    elif codec == codecs.GROUPED:
+        from tokencodec import grouped
+        out = grouped.decode_tokens_column(buf)
     else:
         raise ValueError(f"unknown int codec {codec}")
     return out.astype(_NP_KIND[h["kind"]], copy=False)

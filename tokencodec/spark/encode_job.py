@@ -53,7 +53,8 @@ def _str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def _encode_chunk(bucket: int, salt: int, seq: int,
                   doc_id: pa.Array, tok_values: np.ndarray,
                   n_tok: np.ndarray, source: pa.Array) -> dict:
-    p_tokens = pageformat.encode_int_page(tok_values, pageformat.KIND_INT32)
+    from tokencodec import grouped
+    p_tokens = grouped.encode_tokens_column(tok_values, n_tok)
     p_ntok = pageformat.encode_int_page(n_tok, pageformat.KIND_INT32)
     do, dd = _str_buffers(doc_id)
     p_doc = pageformat.encode_string_page(do, dd)
