@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the engine itself (encode / decode / audit on a token table
+sized from the sf dir) plus representative pipeline queries
+(dedup, knn, RLE-runs). Extra JSON keys report tokens/sec, compression
+ratio vs Spark's own uncompressed parquet, and codec mix.
+
+Scaling evidence (N vs 4N) lives in bench_scaling.py (separate
+processes — a JVM can't change master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS_PER_DOC = int(os.environ.get("TOKENCODEC_BENCH_ROW_FACTOR", "4"))
+SEED = 42
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tokencodec.spark import decode_job, encode_job, synth
+    from tokencodec.spark.session import get_spark
+
+    spark = get_spark("tokencodec-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_rows = n_docs * ROWS_PER_DOC
+
+    # materialize the source token table once (the "Iceberg table" stand-in)
+    src = f"/tmp/tokencodec_bench/src_n{n_rows}_s{SEED}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        synth.token_table(spark, n_rows, seed=SEED).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+
+    root = f"/tmp/tokencodec_bench/enc_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    timed("q_encode", lambda: encode_job.encode(spark, df, root, commit_groups=1))
+    pages = encode_job.read_pages(spark, root)
+    agg = pages.agg(F.sum("n_tokens").alias("t"), F.sum("raw_bytes").alias("r"),
+                    F.sum("enc_bytes").alias("e"), F.count("*").alias("c")).collect()[0]
+
+    timed("q_decode", lambda: decode_job.decode(spark, root).count())
+    audit = timed("q_audit", lambda: decode_job.audit(df, decode_job.decode(spark, root)))
+
+    # reference parquet (uncompressed Spark writer — the baseline artifact)
+    ref = f"/tmp/tokencodec_bench/ref_{os.getpid()}"
+    timed("q_ref_parquet_write",
+          lambda: df.write.mode("overwrite").option("compression", "uncompressed").parquet(ref))
+    ref_bytes = sum(os.path.getsize(os.path.join(ref, p))
+                    for p in os.listdir(ref) if p.endswith(".parquet"))
+
+    # representative pipeline queries (same impls the driver checks)
+    q = entrymod.queries()
+    for name in ["dedup_minhash", "knn_cosine", "rle_runs_returnflag",
+                 "text_fingerprint", "dedup_simhash"]:
+        timed(f"q_{name}", lambda n=name: q[n](spark, SF_DIR).count())
+
+    codec_mix = {r[0]: r[1] for r in
+                 pages.groupBy("tokens_codec").count().orderBy("tokens_codec").collect()}
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ref, ignore_errors=True)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "n_rows": n_rows,
+        "n_tokens": int(agg.t),
+        "encode_tokens_per_sec": round(agg.t / times["q_encode"], 1),
+        "decode_tokens_per_sec": round(agg.t / times["q_decode"], 1),
+        "compression_ratio": round(agg.e / agg.r, 4),
+        "enc_bytes": int(agg.e),
+        "ref_parquet_bytes": ref_bytes,
+        "beats_ref_size": bool(agg.e <= ref_bytes),
+        "roundtrip_ok": audit["ok"],
+        "n_chunks": int(agg.c),
+        "tokens_codec_mix": codec_mix,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

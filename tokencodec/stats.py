@@ -47,10 +47,14 @@ def int_stats(values: np.ndarray) -> IntStats:
 
     neq = v[1:] != v[:-1]
     n_runs = int(neq.sum()) + 1
-    # run coverage: values inside runs of length >= 8
-    starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
-    lengths = np.diff(np.concatenate((starts, [n])))
-    run_coverage = int(lengths[lengths >= 8].sum())
+    # run coverage (values inside runs >= 8) matters only when runs are
+    # plausible winners; for run-free data skip the O(n_runs) arrays
+    if n_runs * 4 <= n:
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        lengths = np.diff(np.concatenate((starts, [n])))
+        run_coverage = int(lengths[lengths >= 8].sum())
+    else:
+        run_coverage = 0
 
     d = np.diff(v)
     zz_max = int(max(d.max(), -d.min()))
