@@ -103,7 +103,7 @@ def q_dict_encode_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     agg = d.groupBy("source").agg(F.count("*").alias("cnt"))
     return agg.select("source",
-                      F.dense_rank().over(Window.orderBy("source")).alias("code"),
+                      F.dense_rank().over(Window.orderBy("source")).cast("bigint").alias("code"),
                       "cnt").orderBy("source")
 
 
@@ -397,7 +397,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     n_words = F.size(F.split("text", " "))
     mean_wl = (F.col("n_chars") - n_words + 1) / n_words  # chars minus spaces
-    return (d.select("doc_id", n_words.alias("n_words"),
+    return (d.select("doc_id", n_words.cast("bigint").alias("n_words"),
                      F.round(mean_wl, 4).alias("mean_word_len"),
                      F.when(n_words.between(20, 10000), 1).otherwise(0).alias("len_ok"))
             .orderBy("doc_id"))
@@ -417,9 +417,9 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias("re_tokens"),
-        F.octet_length("text").alias("n_bytes")).orderBy("doc_id"))
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).cast("bigint").alias("re_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes")).orderBy("doc_id"))
 
 
 SQL_TEXT_TOKEN_COUNT = r"""
@@ -470,7 +470,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(0.0), lambda acc, x: acc + x))
     scored = j.select("vec_id", F.round(dot / (na * nb), 6).alias("cosine"))
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= 10).select("rank", "vec_id", "cosine"))
 
 

@@ -53,6 +53,11 @@ def test_oracle_parity(spark, ddb, name):
     theirs = ddb.sql(ORACLES[name]).df()
     assert sorted(ours.columns) == sorted(theirs.columns), (
         f"{name}: columns {sorted(ours.columns)} != {sorted(theirs.columns)}")
+    dt_ours = {c: str(ours[c].dtype) for c in ours.columns}
+    dt_theirs = {c: str(theirs[c].dtype) for c in theirs.columns}
+    assert dt_ours == dt_theirs, (
+        f"{name}: dtype mismatch "
+        + str({c: (dt_ours[c], dt_theirs[c]) for c in dt_ours if dt_ours[c] != dt_theirs.get(c)}))
     assert len(ours) == len(theirs), f"{name}: rows {len(ours)} != {len(theirs)}"
     a, b = _canon(ours), _canon(theirs)
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
