@@ -94,9 +94,92 @@ def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
+def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-list codec (the reference's Dremel surface, SURVEY ops
+    #11/#12/#17-19): round-trip nested int64 lists, report per-column
+    sizes + equality. Binary format -> rows-only check."""
+    import pyarrow as pa
+    from tokencodec import nested
+    rows = [
+        ([[1, 2], [3, 4], [5]], [1, 2, 3]),
+        (None, [4, 5]),
+        ([[6], None, []], None),
+        ([[]], [6]),
+    ] * 50
+    pdf_f1 = pa.array([r[0] for r in rows], pa.list_(pa.list_(pa.int64())))
+    pdf_f2 = pa.array([r[1] for r in rows], pa.list_(pa.int64()))
+    out = []
+    for name, arr in [("f1", pdf_f1), ("f2", pdf_f2)]:
+        page = nested.encode_nested_page(arr)
+        ok = nested.decode_nested_page(page).equals(arr)
+        out.append((name, len(rows), len(page), bool(ok)))
+    return spark.createDataFrame(out, "col string, n_rows bigint, enc_bytes bigint, roundtrip_ok boolean")
+
+
+def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental encode (SURVEY op #22 analog)."""
+    import shutil
+    import tempfile
+    from tokencodec.spark import streaming, synth
+    from tokencodec.spark.table import SnapshotTable
+    base = tempfile.mkdtemp(prefix="tokencodec_stream_")
+    try:
+        src, root = f"{base}/src", f"{base}/enc"
+        synth.token_table(spark, 120, seed=13).write.mode("append").parquet(src)
+        streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 16)
+        snaps = SnapshotTable(root).snapshots()
+        from tokencodec.spark import decode_job
+        n = decode_job.decode(spark, root).count()
+        return spark.createDataFrame(
+            [(len(snaps), n, n == 120)],
+            "n_commits bigint, decoded_rows bigint, ok boolean")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_schema_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema flattening (SURVEY op #4 `readSchemaMapping` /
+    op #23 field-type map): dotted-path -> type for every leaf."""
+    def walk(fields, prefix=""):
+        out = []
+        for f in fields:
+            path = f"{prefix}{f.name}"
+            dt = f.dataType
+            if dt.typeName() == "struct":
+                out += walk(dt.fields, path + ".")
+            else:
+                out.append((path, dt.simpleString()))
+        return out
+
+    rows = []
+    for tbl in ("lineitem", "documents", "embeddings"):
+        for path, typ in walk(_t(spark, sf_dir, tbl).schema.fields):
+            rows.append((tbl, path, typ))
+    return spark.createDataFrame(rows, "tbl string, path string, dtype string").orderBy("tbl", "path")
+
+
 # --------------------------------------------------------------------------
 # codec analogs with DuckDB oracles (operator semantics, SURVEY.md §2a)
 # --------------------------------------------------------------------------
+
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink/source (SURVEY op #24 `ToJSON ParquetValue`):
+    to_json -> from_json round trip must preserve values exactly;
+    the oracle checks the recovered fields."""
+    d = _t(spark, sf_dir, "documents")
+    j = d.select("doc_id", F.to_json(F.struct("lang", "source", "n_chars")).alias("js"))
+    schema = "lang string, source string, n_chars bigint"
+    back = j.select("doc_id", F.from_json("js", schema).alias("s"))
+    return back.select("doc_id", F.col("s.lang").alias("lang"),
+                       F.col("s.source").alias("source"),
+                       F.col("s.n_chars").alias("n_chars")).orderBy("doc_id")
+
+
+SQL_JSON_SINK_ROUNDTRIP = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
 
 def q_dict_encode_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary codec analog (SURVEY op #7/#9): dense codes per value."""
@@ -589,6 +672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_encode_metrics": q_engine_encode_metrics,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
         "engine_lineage": q_engine_lineage,
+        "engine_nested_roundtrip": q_engine_nested_roundtrip,
+        "engine_stream_encode": q_engine_stream_encode,
+        "schema_flatten": q_schema_flatten,
+        "json_sink_roundtrip": q_json_sink_roundtrip,
         "dict_encode_source": q_dict_encode_source,
         "rle_runs_returnflag": q_rle_runs_returnflag,
         "for_offsets_orders": q_for_offsets_orders,
@@ -613,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "json_sink_roundtrip": SQL_JSON_SINK_ROUNDTRIP,
         "dict_encode_source": SQL_DICT_ENCODE_SOURCE,
         "rle_runs_returnflag": SQL_RLE_RUNS_RETURNFLAG,
         "for_offsets_orders": SQL_FOR_OFFSETS_ORDERS,

@@ -1,0 +1,52 @@
+"""Structured Streaming encode: incremental ingestion of token batches.
+
+The reference exposes an incremental conduit source (`sourceParquet`,
+/root/reference/src/Parquet/Reader.hs:282-290) — "streaming" there
+means incremental IO, not event time. Our Spark-native analog: a
+`readStream` file source over the token table directory, encoded
+micro-batch by micro-batch via ``foreachBatch`` into the same snapshot
+table, one commit group per micro-batch (so the stream inherits the
+engine's resume/lineage semantics). `Trigger.AvailableNow` gives
+batch-incremental catch-up runs — new source files since the last
+checkpoint are encoded and committed, then the query stops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tokencodec.spark import partition as part
+from tokencodec.spark.encode_job import PAGES_DDL, _COLS, make_encoder
+from tokencodec.spark.synth import SCHEMA_DDL
+from tokencodec.spark.table import SnapshotTable
+
+
+def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
+                  checkpoint_dir: str | None = None,
+                  max_chunk_tokens: int = part.MAX_CHUNK_TOKENS) -> None:
+    """Encode all new files in ``source_dir`` (parquet, input_hint
+    schema) into ``out_root``, one snapshot commit per micro-batch.
+    Runs with availableNow and blocks until caught up."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(out_root, "_stream_checkpoint")
+    tbl = SnapshotTable(out_root)
+    encoder = make_encoder(max_chunk_tokens)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"stream-batch-{batch_id}"
+        if key in tbl.committed_groups():
+            return  # replayed micro-batch after restart: already committed
+        bucketed = part.bucketed(batch_df)
+        pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+        run_dir = tbl.new_run_dir()
+        pages.write.mode("overwrite").parquet(run_dir)
+        tbl.commit({key: [run_dir]}, metrics={"batch_id": batch_id})
+
+    stream = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
+              .writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True)
+              .start())
+    stream.awaitTermination()
