@@ -183,12 +183,14 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS):
 
 
 def encode(spark: SparkSession, df: DataFrame, out_root: str,
-           commit_groups: int = 2, n_salts: int = part.DEFAULT_SALTS,
+           commit_groups: int = 2, n_salts: int | None = None,
            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
            partitions: int | None = None) -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF."""
     tbl = SnapshotTable(out_root)
     done = set(tbl.committed_groups())
+    if n_salts is None:
+        n_salts = part.salts_for(df.count())
     encoder = make_encoder(max_chunk_tokens)
     for g in range(commit_groups):
         key = f"g{g}"

@@ -33,6 +33,16 @@ DEFAULT_SALTS = 64
 MAX_CHUNK_TOKENS = 1 << 20  # 1M token values per chunk (~4 MB int32)
 
 
+def salts_for(n_rows: int) -> int:
+    """Deterministic salt count from table size: enough (bucket, salt)
+    groups for parallelism, but groups big enough (~budget tokens at
+    ~700 tokens/doc over ~3 hot length buckets) that chunks reach the
+    token budget — oversalting fragments chunks and starves the
+    dictionary/FSST selectors."""
+    target = max(n_rows // 4096, 4)
+    return min(1 << (target - 1).bit_length(), 65536)
+
+
 def bucketed(df: DataFrame, n_salts: int = DEFAULT_SALTS,
              partitions: int | None = None) -> DataFrame:
     """Add (bucket, salt) and shuffle so each group is co-located."""

@@ -38,7 +38,7 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         key = f"stream-batch-{batch_id}"
         if key in tbl.committed_groups():
             return  # replayed micro-batch after restart: already committed
-        bucketed = part.bucketed(batch_df)
+        bucketed = part.bucketed(batch_df, n_salts=part.salts_for(batch_df.count()))
         pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
         run_dir = tbl.new_run_dir()
         pages.write.mode("overwrite").parquet(run_dir)
