@@ -596,10 +596,107 @@ SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from shared LSH
+    sign-bucket, verified with exact cosine >= 0.7 (the scale path:
+    bucket-join instead of all-pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").isin([1, 2, 3, 4])).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
+    j = e.crossJoin(F.broadcast(planes))
+    dot = F.aggregate(F.zip_with("embedding", "pv", lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    bits = j.select("vec_id", "embedding", "plane_id",
+                    F.when(dot > 0, 1).otherwise(0).alias("bit"))
+    bucketed = (bits.groupBy("vec_id")
+                .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("plane_id") - 1))
+                     .cast("int").alias("bucket")))
+    withb = e.join(bucketed, "vec_id")
+    a = withb.alias("a")
+    b = withb.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    pdot = F.aggregate(F.zip_with("a.embedding", "b.embedding",
+                                  lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = pdot / (norm("a.embedding") * norm("b.embedding"))
+    out = pairs.select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                       F.round(cos, 6).alias("cosine")).filter(F.col("cosine") >= 0.7)
+    return out.orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH planes AS (SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+                FROM embeddings WHERE vec_id IN (1,2,3,4)),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                  THEN 1 ELSE 0 END * pow(2.0, p.plane_id - 1)) AS INTEGER) AS bucket
+  FROM embeddings e, planes p GROUP BY e.vec_id),
+withb AS (SELECT e.*, b.bucket FROM embeddings e JOIN buckets b USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: per-label centroids (the 'inverted
+    lists'), assign each vector to its nearest centroid, report the
+    assignment matrix. Float sums over groups are partition-order
+    dependent in Spark, so this is a rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("embedding")[i]) for i in range(64)]).alias("centroid"))
+    j = e.crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel")))
+    dist = F.aggregate(F.zip_with("embedding", "centroid",
+                                  lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    scored = j.select("vec_id", "label", "clabel", dist.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (best.groupBy("label", F.col("clabel").alias("assigned"))
+            .agg(F.count("*").alias("n")).orderBy("label", "assigned"))
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary payloads; decode stubbed deterministically —
 # image/audio libs are not in this container)
 # --------------------------------------------------------------------------
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: a fake 'video' (binary payload +
+    frame-count metadata) is sampled every k-th frame; the exploded
+    (doc, frame_idx) plan is the real thing, the decode is a stub."""
+    d = _t(spark, sf_dir, "documents")
+    vids = d.select("doc_id", (F.pmod("n_chars", F.lit(240)) + 1).alias("n_frames"))
+    frames = vids.select(
+        "doc_id", "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(24))).alias("frame_idx"))
+    return (frames.groupBy("doc_id")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.max("frame_idx").cast("bigint").alias("last_frame"))
+            .orderBy("doc_id"))
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH vids AS (SELECT doc_id, n_chars % 240 + 1 AS n_frames FROM documents),
+frames AS (SELECT doc_id, unnest(range(0, n_frames, 24)) AS frame_idx FROM vids)
+SELECT doc_id, count(*) AS n_sampled, CAST(max(frame_idx) AS BIGINT) AS last_frame
+FROM frames GROUP BY doc_id ORDER BY doc_id
+"""
 
 def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas 'decode' of an opaque binary column: real Spark
@@ -693,8 +790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_cosine": q_knn_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ivf_assign": q_ivf_assign,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_embed_norm": q_mm_embed_norm,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -718,8 +818,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "knn_cosine": SQL_KNN_COSINE,
         "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+        "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "mm_decode_meta": SQL_MM_DECODE_META,
         "mm_embed_norm": SQL_MM_EMBED_NORM,
+        "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         # engine_* queries operate on binary page payloads — not
         # SQL-expressible; driver records rows-only checks for them.
     }

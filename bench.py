@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS_PER_DOC = int(os.environ.get("TOKENCODEC_BENCH_ROW_FACTOR", "4"))
+ROWS_PER_DOC = int(os.environ.get("TOKENCODEC_BENCH_ROW_FACTOR", "8"))
 SEED = 42
 
 
@@ -55,7 +55,8 @@ def main() -> None:
     root = f"/tmp/tokencodec_bench/enc_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
 
-    timed("q_encode", lambda: encode_job.encode(spark, df, root, commit_groups=1))
+    timed("q_encode", lambda: encode_job.encode_from_parquet(
+        spark, src, root, commit_groups=1))
     pages = encode_job.read_pages(spark, root)
     agg = pages.agg(F.sum("n_tokens").alias("t"), F.sum("raw_bytes").alias("r"),
                     F.sum("enc_bytes").alias("e"), F.count("*").alias("c")).collect()[0]

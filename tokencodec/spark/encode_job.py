@@ -98,7 +98,31 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS):
+def _tokens_as_values_offsets(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (flat int32 values, int64 offsets) from either a
+    list<int32> column or a binary column of little-endian int32 blobs
+    (the fast transport used by encode_from_parquet)."""
+    col = batch.column(batch.schema.names.index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        buffers = col.buffers()
+        width = 8 if pa.types.is_large_binary(col.type) else 4
+        odt = np.int64 if width == 8 else np.int32
+        offsets = np.frombuffer(buffers[1], dtype=odt,
+                                count=len(col) + 1 + col.offset)
+        offsets = offsets[col.offset: col.offset + len(col) + 1].astype(np.int64)
+        data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+        data = data[offsets[0]: offsets[-1]]
+        values = data.view("<i4")
+        return values, (offsets - offsets[0]) // 4
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    return values, offsets
+
+
+def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+                 tokens_col: str = "tokens"):
     """mapInArrow function: bucketed batches -> encoded chunk rows.
 
     Carries buffered rows across Arrow batches inside one Spark
@@ -136,11 +160,7 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS):
             bucket = cols["bucket"].to_numpy(zero_copy_only=False)
             salt = cols["salt"].to_numpy(zero_copy_only=False)
             ntok = cols["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-            tokens = cols["tokens"]
-            if isinstance(tokens, pa.ChunkedArray):
-                tokens = tokens.combine_chunks()
-            t_offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            t_values = tokens.values.to_numpy(zero_copy_only=False)
+            t_values, t_offsets = _tokens_as_values_offsets(batch, tokens_col)
             n = len(ntok)
             # segment by (bucket, salt) change — sorted, so contiguous
             key_change = np.flatnonzero((bucket[1:] != bucket[:-1]) | (salt[1:] != salt[:-1])) + 1
@@ -214,6 +234,74 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m["tokens_per_sec"] = round(m["n_tokens"] / wall, 1) if wall > 0 else None
         tbl.commit({key: [run_dir]}, metrics=m)
     return read_pages(spark, out_root)
+
+
+# --------------------------------------------------------------- fast source
+# File-split source: Spark distributes (file, row-group) splits; Python
+# workers read them with pyarrow's C++ parquet reader and ship tokens
+# across the JVM boundary as little-endian int32 BLOBS. Binary columns
+# cross Arrow boundaries as bulk buffer copies, whereas array<int32>
+# goes through Spark's per-element ArrowWriter — the dominant cost at
+# scale. Output is byte-identical to encode(df) on the same data: chunk
+# content depends only on the (bucket, salt, n_tok, doc_id) order,
+# never on split layout (tests/test_fast_source.py).
+
+PACKED_DDL = "doc_id string, tokens binary, n_tok int, source string"
+
+
+def parquet_splits(src_dir: str) -> list[tuple[str, int]]:
+    import glob
+
+    import pyarrow.parquet as pq
+    splits: list[tuple[str, int]] = []
+    for path in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        splits.extend((path, rg) for rg in range(md.num_row_groups))
+    if not splits:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    return splits
+
+
+def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import pyarrow.parquet as pq
+    for batch in it:
+        paths = batch.column(0).to_pylist()
+        rgs = batch.column(1).to_pylist()
+        for path, rg in zip(paths, rgs):
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["doc_id", "tokens", "n_tok", "source"])
+            tokens = tbl.column("tokens").combine_chunks()
+            t_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            t_val = tokens.values.to_numpy(zero_copy_only=False)
+            base = t_off[0]
+            blob_off = ((t_off - base) * 4).astype(np.int32)
+            blob_data = np.ascontiguousarray(t_val[base:t_off[-1]]).view(np.uint8)
+            blob = pa.Array.from_buffers(
+                pa.binary(), len(tokens),
+                [None, pa.py_buffer(blob_off), pa.py_buffer(blob_data)])
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks(), blob,
+                 tbl.column("n_tok").combine_chunks(),
+                 tbl.column("source").combine_chunks()],
+                names=["doc_id", "tokens", "n_tok", "source"])
+
+
+def pack_source(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Token table as (doc_id, tokens BINARY, n_tok, source) read by
+    pyarrow inside workers — the fast transport for encode()."""
+    splits = parquet_splits(src_dir)
+    sdf = spark.createDataFrame(splits, "path string, rg int").repartition(len(splits))
+    return sdf.mapInArrow(_read_and_pack, PACKED_DDL)
+
+
+def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
+                        **kw) -> DataFrame:
+    """encode() over a parquet directory via the fast file-split source."""
+    import pyarrow.parquet as pq
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows
+                 for p, rg in parquet_splits(src_dir) if rg == 0)
+    kw.setdefault("n_salts", part.salts_for(n_rows))
+    return encode(spark, pack_source(spark, src_dir), out_root, **kw)
 
 
 def read_pages(spark: SparkSession, root: str) -> DataFrame:

@@ -22,6 +22,13 @@ def get_spark(app: str = "tokencodec", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("TOKENCODEC_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
+        # shuffle/spill on tmpfs when available: the sandbox has one
+        # virtio disk whose bandwidth does not scale with cores (a real
+        # cluster's shuffle IO scales with node count)
+        .config("spark.local.dir",
+                os.environ.get("TOKENCODEC_LOCAL_DIR",
+                               "/dev/shm/tokencodec-spark"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
