@@ -1,0 +1,45 @@
+"""Lineage-based chunk pruning on decode + the non-null input contract."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tokencodec.spark import decode_job, encode_job, synth
+
+
+@pytest.fixture(scope="module")
+def enc_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prune"))
+    df = synth.token_table(spark, 800, seed=31).cache()
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=8,
+                      max_chunk_tokens=1 << 16)
+    return df, root
+
+
+def test_doc_range_pruning_correct_and_skips_chunks(spark, enc_root):
+    df, root = enc_root
+    lo, hi = "doc-000000000100", "doc-000000000299"
+    out = decode_job.decode(spark, root, doc_id_min=lo, doc_id_max=hi)
+    expected = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+    pages = encode_job.read_pages(spark, root)
+    total = pages.count()
+    touched = pages.filter((F.col("doc_id_max") >= lo)
+                           & (F.col("doc_id_min") <= hi)).count()
+    assert touched < total, "range predicate should prune some chunks"
+
+
+def test_bucket_pruning(spark, enc_root):
+    df, root = enc_root
+    out = decode_job.decode(spark, root, buckets=[9])
+    expected = df.filter(F.length(F.bin("n_tok")) == 9)
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_null_input_rejected(spark, tmp_path):
+    df = synth.token_table(spark, 50, seed=32).withColumn(
+        "source", F.when(F.col("n_tok") % 2 == 0, F.col("source")))
+    with pytest.raises(Exception, match="null values in column 'source'"):
+        encode_job.encode(spark, df, str(tmp_path / "x"), commit_groups=1,
+                          n_salts=2)

@@ -57,10 +57,35 @@ def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             yield _decode_chunk(*(c[r].as_py() for c in cols))
 
 
-def decode(spark: SparkSession, root: str) -> DataFrame:
+def decode(spark: SparkSession, root: str,
+           doc_id_min: str | None = None, doc_id_max: str | None = None,
+           buckets: list[int] | None = None) -> DataFrame:
+    """Decode committed pages; optional chunk pruning on lineage.
+
+    Data skipping the reference lacks entirely (it always decodes every
+    column chunk of every row group, /root/reference/src/Parquet/Reader.hs:577-585):
+    the per-chunk doc-id range and length bucket recorded at encode time
+    prune whole chunks BEFORE any page crosses the Arrow boundary —
+    min/max skipping exactly like Iceberg/parquet row-group stats.
+    A doc-id range filter is re-applied row-level after decode (chunk
+    ranges overlap the predicate, rows must match it exactly).
+    """
+    from pyspark.sql import functions as F
+
     pages = read_pages(spark, root)
+    if doc_id_min is not None:
+        pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
+    if doc_id_max is not None:
+        pages = pages.filter(F.col("doc_id_min") <= doc_id_max)
+    if buckets is not None:
+        pages = pages.filter(F.col("bucket").isin(buckets))
     # column pruning: only the binary pages cross the Arrow boundary
-    return pages.select(_PAGE_COLS).mapInArrow(decode_batches, SCHEMA_DDL)
+    out = pages.select(_PAGE_COLS).mapInArrow(decode_batches, SCHEMA_DDL)
+    if doc_id_min is not None:
+        out = out.filter(F.col("doc_id") >= doc_id_min)
+    if doc_id_max is not None:
+        out = out.filter(F.col("doc_id") <= doc_id_max)
+    return out
 
 
 def audit(original: DataFrame, decoded: DataFrame) -> dict:

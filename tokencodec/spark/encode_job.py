@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,12 +65,15 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     raw = sum(h["raw_size"] for h in heads)
     enc = sum(len(p) for p in (p_tokens, p_doc, p_ntok, p_src))
     n_rows = len(n_tok)
+    # true value range, NOT first/last in sort order (rows are ordered
+    # n_tok-major) — pruning correctness depends on this
+    mm = pc.min_max(doc_id) if n_rows else None
     return {
         "bucket": bucket, "salt": salt, "chunk_seq": seq,
         "chunk_uid": f"b{bucket:02d}-s{salt:04d}-c{seq:06d}",
         "n_rows": n_rows, "n_tokens": int(len(tok_values)),
-        "doc_id_min": doc_id[0].as_py() if n_rows else "",
-        "doc_id_max": doc_id[n_rows - 1].as_py() if n_rows else "",
+        "doc_id_min": mm["min"].as_py() if n_rows else "",
+        "doc_id_max": mm["max"].as_py() if n_rows else "",
         "tokens_codec": heads[0]["codec_name"], "doc_id_codec": heads[1]["codec_name"],
         "n_tok_codec": heads[2]["codec_name"], "source_codec": heads[3]["codec_name"],
         "raw_bytes": raw, "enc_bytes": enc,
@@ -156,6 +160,15 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
         for batch in it:
             if batch.num_rows == 0:
                 continue
+            for i, name in enumerate(batch.schema.names):
+                if batch.column(i).null_count:
+                    # input contract (BASELINE.json input_hint): doc_id,
+                    # tokens (non-null elements), n_tok, source are all
+                    # non-null — fail fast instead of silently coercing
+                    raise ValueError(
+                        f"null values in column '{name}': the token-table "
+                        "input contract requires non-null "
+                        "(doc_id, tokens, n_tok, source)")
             cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
             bucket = cols["bucket"].to_numpy(zero_copy_only=False)
             salt = cols["salt"].to_numpy(zero_copy_only=False)
