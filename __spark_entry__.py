@@ -417,6 +417,65 @@ ORDER BY s.doc_id
 """
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle -> 4 minhashes -> 2 bands of
+    2 -> candidate pairs via band bucket-join -> exact unigram Jaccard
+    on candidates only (the at-scale shape: no all-pairs join)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sig = words.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(str(j)), F.col("w")))).alias(f"mh{j}") for j in range(4)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(
+            F.concat(F.lit("b0:"), "mh0", F.lit("|"), "mh1"),
+            F.concat(F.lit("b1:"), "mh2", F.lit("|"), "mh3"))).alias("band"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = words.select(F.col("doc_id").alias("id_a"), "w")
+    wb = words.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (cand.join(wa, "id_a").join(wb, ["id_b", "w"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b")
+    out = (cand.join(sa, "id_a").join(sb, "id_b").join(inter, ["id_a", "id_b"], "left")
+           .na.fill({"inter": 0}))
+    return (out.select("id_a", "id_b",
+                       F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+                       .alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DEDUP_MINHASH_LSH = """
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+               min(md5('0' || w)) AS mh0, min(md5('1' || w)) AS mh1,
+               min(md5('2' || w)) AS mh2, min(md5('3' || w)) AS mh3
+        FROM words GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 'b0:' || mh0 || '|' || mh1 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, 'b1:' || mh2 || '|' || mh3 AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c JOIN words wa ON wa.doc_id = c.id_a
+                      JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+          GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       round(COALESCE(i.inter, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+FROM cand c JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+ORDER BY c.id_a, c.id_b
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash from word md5 hex digits (portable bit source:
     hex digit >= '8' <=> top bit set)."""
@@ -782,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varint_size_orders": q_varint_size_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
@@ -810,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "varint_size_orders": SQL_VARINT_SIZE_ORDERS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "text_lang_id": SQL_TEXT_LANG_ID,
