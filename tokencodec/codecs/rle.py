@@ -15,12 +15,14 @@ Decode grammar matches the reference `decodeRLEBPHybrid`
     truncate output to n_values (final group may be zero-padded).
 
 The encoder (the reference has none — its only encoder is the varint,
-Decoder.hs:155-163) guarantees that every *non-final* bit-packed span
-is an exact multiple of 8 values, so mid-stream padding never occurs
-and decode(encode(x)) is bit-identical.
-
-Run detection and packing are vectorized; the only Python-level loop
-is over *emitted spans* (few, by construction of the fast paths).
+Decoder.hs:155-163) snaps every RLE run to GLOBAL multiples of 8
+values, so every non-final bit-packed span is an exact multiple of 8
+and mid-stream padding never occurs. Global alignment (vs aligning
+each span to its predecessor) costs at most 7 values per run edge but
+removes all sequential dependence: run acceptance, headers, value
+bytes, one shared pack_le call and the final byte assembly are all
+vectorized — no Python-per-run work in either direction beyond the
+decoder's header walk.
 """
 
 from __future__ import annotations
@@ -48,6 +50,32 @@ def find_runs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, lengths
 
 
+def _varint_matrix(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ULEB128 for a vector of uint (< 2^35): (bytes[k,5], lengths[k])."""
+    x = x.astype(np.uint64, copy=False)
+    out = np.zeros((len(x), 5), dtype=np.uint8)
+    lens = np.ones(len(x), dtype=np.int64)
+    rest = x.copy()
+    for k in range(5):
+        out[:, k] = (rest & np.uint64(0x7F)).astype(np.uint8)
+        rest >>= np.uint64(7)
+        more = rest > 0
+        out[more, k] |= 0x80
+        lens[more] = k + 2
+    return out, lens
+
+
+def _scatter(out: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
+             src_off: np.ndarray, lens: np.ndarray) -> None:
+    """out[dst_off[i]:dst_off[i]+lens[i]] = src[src_off[i]:...] vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    prefix = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(prefix, lens)
+    out[np.repeat(dst_off, lens) + intra] = src[np.repeat(src_off, lens) + intra]
+
+
 def encode(values: np.ndarray, bit_width: int) -> bytes:
     """Hybrid-encode non-negative ints that all fit in ``bit_width`` bits."""
     n = len(values)
@@ -63,65 +91,168 @@ def encode(values: np.ndarray, bit_width: int) -> bytes:
         v = int(values[0])
         return varint.encode(n << 1) + v.to_bytes(fw, "little")
 
+    # acceptance walk: steal <=7 head values from each candidate run so
+    # the preceding bit-packed span is a multiple of 8. Only integer
+    # bookkeeping happens per run; all byte emission below is vectorized.
+    big = lengths >= MIN_RLE_RUN
+    cand_s = starts[big].tolist()
+    cand_l = lengths[big].tolist()
+    acc_a: list[int] = []
+    acc_b: list[int] = []
+    pending = 0
+    for s, ln in zip(cand_s, cand_l):
+        steal = (pending - s) % 8
+        if ln - steal >= MIN_RLE_RUN:
+            acc_a.append(s + steal)
+            acc_b.append(s + ln)
+            pending = s + ln
+    a = np.array(acc_a, dtype=np.int64)
+    b = np.array(acc_b, dtype=np.int64)
+
     # fast path: no usable runs -> single bit-packed span
-    if lengths.max(initial=0) < MIN_RLE_RUN:
+    if len(a) == 0:
         ngroups = (n + 7) // 8
         return varint.encode((ngroups << 1) | 1) + bitpack.pack_le(values, bit_width)
 
-    out: list[bytes] = []
-    pending = 0  # start of the not-yet-emitted bit-packed span
+    run_vals = values[a]
+    run_counts = b - a
 
-    def emit_bp(start: int, count: int) -> None:
-        ngroups = (count + 7) // 8
-        out.append(varint.encode((ngroups << 1) | 1))
-        out.append(bitpack.pack_le(values[start:start + count], bit_width))
+    # bit-packed spans between/around accepted runs
+    bp_s = np.concatenate(([0], b))
+    bp_e = np.concatenate((a, [n]))
+    bp_len = bp_e - bp_s  # multiples of 8 except possibly the last
+    bp_groups = (bp_len + 7) // 8
 
-    big = lengths >= MIN_RLE_RUN
-    for s, ln in zip(starts[big].tolist(), lengths[big].tolist()):
-        if s < pending:  # overlapped by an earlier steal
-            ln -= pending - s
-            s = pending
-        gap = s - pending
-        steal = (-gap) % 8  # extend preceding span to a multiple of 8
-        if ln - steal >= MIN_RLE_RUN:
-            if gap + steal:
-                emit_bp(pending, gap + steal)
-            run_len = ln - steal
-            out.append(varint.encode(run_len << 1))
-            out.append(int(values[s + steal]).to_bytes(fw, "little"))
-            pending = s + ln
-    if pending < n:
-        emit_bp(pending, n - pending)
-    return b"".join(out)
+    # pack every bp value in ONE call (mid spans are 8-aligned so group
+    # boundaries coincide with span boundaries)
+    nz = bp_len > 0
+    total_bp = int(bp_len.sum())
+    prefix = np.concatenate(([0], np.cumsum(bp_len)[:-1]))
+    gather = np.repeat(bp_s - prefix, bp_len) + np.arange(total_bp, dtype=np.int64)
+    packed = np.frombuffer(bitpack.pack_le(values[gather], bit_width), dtype=np.uint8)
+    bp_nbytes = bp_groups * bit_width
+    bp_src_off = np.concatenate(([0], np.cumsum(bp_nbytes)[:-1]))
+
+    # headers
+    rle_hdr, rle_hlen = _varint_matrix(run_counts.astype(np.uint64) << np.uint64(1))
+    bp_hdr, bp_hlen = _varint_matrix((bp_groups.astype(np.uint64) << np.uint64(1)) | np.uint64(1))
+    bp_hlen = np.where(nz, bp_hlen, 0)
+    bp_nbytes = np.where(nz, bp_nbytes, 0)
+
+    # run value bytes: (k, fw) LE
+    rv = np.ascontiguousarray(run_vals).view(np.uint8).reshape(len(run_vals), 8)[:, :fw]
+
+    # piece layout: bp0, r0, bp1, r1, ..., r_{k-1}, bp_k
+    k = len(a)
+    piece_lens = np.zeros(2 * k + 1, dtype=np.int64)
+    piece_lens[0::2] = bp_hlen + bp_nbytes
+    piece_lens[1::2] = rle_hlen + fw
+    out = np.zeros(int(piece_lens.sum()), dtype=np.uint8)
+    piece_off = np.concatenate(([0], np.cumsum(piece_lens)[:-1]))
+    bp_off = piece_off[0::2]
+    rle_off = piece_off[1::2]
+
+    hdr_flat = bp_hdr.reshape(-1)
+    _scatter(out, bp_off, hdr_flat, np.arange(k + 1, dtype=np.int64) * 5, bp_hlen)
+    _scatter(out, bp_off + bp_hlen, packed, bp_src_off, bp_nbytes)
+    hdr_flat_r = rle_hdr.reshape(-1)
+    _scatter(out, rle_off, hdr_flat_r, np.arange(k, dtype=np.int64) * 5, rle_hlen)
+    _scatter(out, rle_off + rle_hlen, rv.reshape(-1),
+             np.arange(k, dtype=np.int64) * fw, np.full(k, fw, dtype=np.int64))
+    return out.tobytes()
 
 
 def decode(buf: bytes | memoryview, bit_width: int, n_values: int) -> np.ndarray:
-    """Inverse of :func:`encode`; semantics of Decoder.hs:119-135."""
+    """Inverse of :func:`encode`; semantics of Decoder.hs:119-135.
+
+    The header walk is sequential (self-describing stream) but does no
+    array work per piece; values materialize in two vectorized passes
+    (one np.repeat for all runs, one unpack_le for all groups).
+    """
     fw = _fixed_width(bit_width)
-    pieces: list[np.ndarray] = []
-    got = 0
+    raw = np.frombuffer(buf, dtype=np.uint8)
     pos = 0
-    end = len(buf)
-    mv = memoryview(buf)
+    end = len(raw)
+    got = 0
+    # piece bookkeeping (python scalars only)
+    rle_vals: list[int] = []
+    rle_counts: list[int] = []
+    bp_byte_off: list[int] = []
+    bp_counts: list[int] = []
+    order: list[tuple[int, int, int]] = []  # (kind, index, count)
+    rawb = raw.tobytes()
     while got < n_values and pos < end:
-        header, pos = varint.decode(mv, pos)
-        if header & 1:  # bit-packed groups
+        # inlined ULEB128 (same semantics as varint.decode; the call
+        # overhead dominates the header walk on run-heavy pages)
+        b0 = rawb[pos]
+        if b0 < 0x80:
+            header = b0
+            pos += 1
+        else:
+            header = b0 & 0x7F
+            shift = 7
+            pos += 1
+            while True:
+                b0 = rawb[pos]
+                pos += 1
+                header |= (b0 & 0x7F) << shift
+                if not (b0 & 0x80):
+                    break
+                shift += 7
+        if header & 1:
             ngroups = header >> 1
             cnt = ngroups * 8
-            nbytes = ngroups * bit_width
-            pieces.append(bitpack.unpack_le(mv[pos:pos + nbytes], bit_width, cnt))
-            pos += nbytes
+            order.append((1, len(bp_byte_off), cnt))
+            bp_byte_off.append(pos)
+            bp_counts.append(cnt)
+            pos += ngroups * bit_width
             got += cnt
-        else:  # RLE run
+        else:
             run_len = header >> 1
-            v = int.from_bytes(mv[pos:pos + fw], "little") if fw else 0
+            v = int.from_bytes(rawb[pos:pos + fw], "little") if fw else 0
             pos += fw
-            pieces.append(np.full(run_len, v, dtype=np.uint64))
+            order.append((0, len(rle_vals), run_len))
+            rle_vals.append(v)
+            rle_counts.append(run_len)
             got += run_len
     if got < n_values:
         raise ValueError(f"hybrid stream exhausted: {got} < {n_values}")
-    result = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
-    return result[:n_values]
+
+    # vectorized materialization
+    rle_stream = (np.repeat(np.array(rle_vals, dtype=np.uint64),
+                            np.array(rle_counts, dtype=np.int64))
+                  if rle_vals else np.empty(0, np.uint64))
+    if bp_byte_off:
+        offs = np.array(bp_byte_off, dtype=np.int64)
+        cnts = np.array(bp_counts, dtype=np.int64)
+        nbytes = (cnts // 8) * bit_width
+        prefix = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+        gather = np.repeat(offs - prefix, nbytes) + np.arange(int(nbytes.sum()), dtype=np.int64)
+        bp_stream = bitpack.unpack_le(np.ascontiguousarray(raw[gather]).tobytes(),
+                                      bit_width, int(cnts.sum()))
+        bp_piece_off = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    else:
+        bp_stream = np.empty(0, np.uint64)
+        bp_piece_off = np.empty(0, np.int64)
+    rle_piece_off = (np.concatenate(([0], np.cumsum(np.array(rle_counts, dtype=np.int64))[:-1]))
+                     if rle_vals else np.empty(0, np.int64))
+
+    # interleave both streams into output order with two vectorized scatters
+    kinds = np.array([o[0] for o in order], dtype=np.int64)
+    cnts_all = np.array([o[2] for o in order], dtype=np.int64)
+    dst_off = np.concatenate(([0], np.cumsum(cnts_all)[:-1]))
+    out = np.empty(got, dtype=np.uint64)
+    for kind, stream in ((0, rle_stream), (1, bp_stream)):
+        m = kinds == kind
+        if not m.any():
+            continue
+        lens = cnts_all[m]
+        doff = dst_off[m]
+        total = int(lens.sum())
+        prefix = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(prefix, lens)
+        out[np.repeat(doff, lens) + intra] = stream[:total]
+    return out[:n_values]
 
 
 def estimate_nbytes(n: int, n_runs: int, run_coverage: int, bit_width: int) -> int:
