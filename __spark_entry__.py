@@ -25,7 +25,12 @@ driver hash-compares after sorting columns by name).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives beside this file; make it importable no
+# matter what cwd the driver harness runs from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -344,6 +349,101 @@ FROM (SELECT o_orderstatus,
              CAST(floor((length(bin(greatest(o_orderkey, 1))) + 6) / 7) AS INTEGER) AS vb
       FROM orders)
 GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# built-in relational surface (SURVEY §2b: what the engine composes with)
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with map-side combine (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join (small dim) + top-k: nations' biggest spenders."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    j = (spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (j.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3)
+            .select("n_name", "rk", F.col("o_custkey").alias("custkey"), "spend")
+            .orderBy("n_name", "rk"))
+
+
+SQL_JOIN_TOP_CUSTOMERS = """
+WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+               FROM orders GROUP BY o_custkey),
+j AS (SELECT n.n_name, s.o_custkey, s.spend
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT n_name, rk, custkey, spend FROM (
+  SELECT n_name, row_number() OVER (PARTITION BY n_name
+                                    ORDER BY spend DESC, o_custkey ASC) AS rk,
+         o_custkey AS custkey, spend
+  FROM j)
+WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+def q_window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running totals over an event stream (per-user prefix sums)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    r = e.select("user_id", "event_id",
+                 F.round(F.sum("value").over(w), 2).alias("running_value"))
+    return (r.groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.max("running_value"), 2).alias("final_value"))
+            .orderBy("user_id"))
+
+
+SQL_WINDOW_RUNNING_VALUE = """
+SELECT user_id, count(*) AS n, round(max(rv), 2) AS final_value
+FROM (SELECT user_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS rv
+      FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_setop_region_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with/without suppliers (except/intersect)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    no_sup = n.exceptAll(s).groupBy().count().withColumnRenamed("count", "nations_without_suppliers")
+    both = n.intersect(s).groupBy().count().withColumnRenamed("count", "nations_with_suppliers")
+    return no_sup.crossJoin(both)
+
+
+SQL_SETOP_REGION_COVERAGE = """
+SELECT
+  (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+     EXCEPT ALL SELECT DISTINCT s_nationkey FROM supplier)) AS nations_without_suppliers,
+  (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+     INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS nations_with_suppliers
 """
 
 
@@ -839,6 +939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_selection_stats": q_codec_selection_stats,
         "delta_encode_events": q_delta_encode_events,
         "varint_size_orders": q_varint_size_orders,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_customers": q_join_top_customers,
+        "window_running_value": q_window_running_value,
+        "setop_region_coverage": q_setop_region_coverage,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -868,6 +972,10 @@ def oracle_sql() -> dict[str, str]:
         "codec_selection_stats": SQL_CODEC_SELECTION_STATS,
         "delta_encode_events": SQL_DELTA_ENCODE_EVENTS,
         "varint_size_orders": SQL_VARINT_SIZE_ORDERS,
+        "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+        "join_top_customers": SQL_JOIN_TOP_CUSTOMERS,
+        "window_running_value": SQL_WINDOW_RUNNING_VALUE,
+        "setop_region_coverage": SQL_SETOP_REGION_COVERAGE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
