@@ -83,10 +83,13 @@ class SnapshotTable:
             "metrics": metrics or {},
         }
         name = f"snapshot-{sid:06d}.json"
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
+        # optimistic concurrency: snapshot ids are claimed with O_EXCL,
+        # so two committers racing on the same parent fail loudly
+        # instead of silently overwriting (Iceberg's commit semantics)
+        fd = os.open(os.path.join(self.manifest_dir, name),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
             json.dump(snap, f, indent=1)
-        os.replace(tmp, os.path.join(self.manifest_dir, name))
         tmp2 = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
             f.write(name)
