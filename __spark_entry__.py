@@ -142,6 +142,18 @@ def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_engine_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity verification over the committed snapshot (the
+    reference's page-byte accounting, Stream/Reader.hs:349-353,
+    distributed): CRCs + count cross-checks for every chunk."""
+    from tokencodec.spark import fsck
+    rep = fsck.fsck(spark, _engine_root(spark, sf_dir))
+    return (rep.groupBy("ok")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("crc_checked").alias("pages_crc_checked"),
+                 F.sum("n_tokens").alias("n_tokens")).orderBy("ok"))
+
+
 def q_schema_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema flattening (SURVEY op #4 `readSchemaMapping` /
     op #23 field-type map): dotted-path -> type for every leaf."""
@@ -930,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_lineage": q_engine_lineage,
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
         "engine_stream_encode": q_engine_stream_encode,
+        "engine_fsck": q_engine_fsck,
         "schema_flatten": q_schema_flatten,
         "json_sink_roundtrip": q_json_sink_roundtrip,
         "dict_encode_source": q_dict_encode_source,

@@ -82,6 +82,12 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ref, ignore_errors=True)
 
+    scaling = None
+    scal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scal_path):
+        with open(scal_path) as f:
+            scaling = json.load(f)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "bench_total_wall",
@@ -101,6 +107,7 @@ def main() -> None:
         "roundtrip_ok": audit["ok"],
         "n_chunks": int(agg.c),
         "tokens_codec_mix": codec_mix,
+        "scaling": scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1,0 +1,84 @@
+"""Integrity verification (fsck) for an encoded snapshot table.
+
+Distributed analog of the reference's page-byte accounting and
+validation discipline (`validate_consumed_page_bytes`
+/root/reference/src/Parquet/Stream/Reader.hs:349-353, rep/def zip
+checks :111-120): every committed chunk's four pages are parsed,
+CRC-verified, and cross-checked — tokens page value count must equal
+the n_tok page's sum, string pages must carry n_rows values, and the
+recorded enc/raw byte metrics must match the page headers. Runs as one
+mapInArrow pass; returns a per-chunk report DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tokencodec import pageformat
+from tokencodec.spark.encode_job import read_pages
+
+REPORT_DDL = ("chunk_uid string, ok boolean, error string, "
+              "n_rows int, n_tokens bigint, crc_checked int")
+
+_COLS = ["chunk_uid", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
+         "page_tokens", "page_doc_id", "page_n_tok", "page_source"]
+
+
+def _check_chunk(row: dict) -> tuple[bool, str, int]:
+    checked = 0
+    try:
+        ntok = pageformat.decode_int_page(row["page_n_tok"])
+        checked += 1
+        h_tok = pageformat.read_header(row["page_tokens"])
+        tok = pageformat.decode_int_page(row["page_tokens"])  # CRC-verified
+        checked += 1
+        do, _ = pageformat.decode_string_page(row["page_doc_id"])
+        checked += 1
+        so, _ = pageformat.decode_string_page(row["page_source"])
+        checked += 1
+        if len(ntok) != row["n_rows"]:
+            return False, f"n_tok count {len(ntok)} != n_rows {row['n_rows']}", checked
+        if int(ntok.sum()) != row["n_tokens"] or len(tok) != row["n_tokens"]:
+            return (False, f"token count mismatch: sum(n_tok)={int(ntok.sum())} "
+                    f"decoded={len(tok)} recorded={row['n_tokens']}", checked)
+        if len(do) - 1 != row["n_rows"] or len(so) - 1 != row["n_rows"]:
+            return False, "string page row-count mismatch", checked
+        enc = sum(len(row[p]) for p in ("page_tokens", "page_doc_id",
+                                        "page_n_tok", "page_source"))
+        if enc != row["enc_bytes"]:
+            return False, f"enc_bytes metric {row['enc_bytes']} != pages {enc}", checked
+        if h_tok["n_values"] != row["n_tokens"]:
+            return False, "tokens header n_values mismatch", checked
+        return True, "", checked
+    except Exception as e:  # corrupt page: CRC, truncation, bad magic
+        return False, f"{type(e).__name__}: {e}", checked
+
+
+def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        names = batch.schema.names
+        rows_ok, errs, nrows, ntoks, uids, checked = [], [], [], [], [], []
+        for r in range(batch.num_rows):
+            row = {n: batch.column(names.index(n))[r].as_py() for n in _COLS}
+            ok, err, chk = _check_chunk(row)
+            uids.append(row["chunk_uid"])
+            rows_ok.append(ok)
+            errs.append(err)
+            nrows.append(row["n_rows"])
+            ntoks.append(row["n_tokens"])
+            checked.append(chk)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uids, pa.string()), pa.array(rows_ok, pa.bool_()),
+             pa.array(errs, pa.string()), pa.array(nrows, pa.int32()),
+             pa.array(ntoks, pa.int64()), pa.array(checked, pa.int32())],
+            names=["chunk_uid", "ok", "error", "n_rows", "n_tokens", "crc_checked"])
+
+
+def fsck(spark: SparkSession, root: str) -> DataFrame:
+    pages = read_pages(spark, root).select(_COLS)
+    return pages.mapInArrow(fsck_batches, REPORT_DDL)
