@@ -15,14 +15,14 @@ Decode grammar matches the reference `decodeRLEBPHybrid`
     truncate output to n_values (final group may be zero-padded).
 
 The encoder (the reference has none — its only encoder is the varint,
-Decoder.hs:155-163) snaps every RLE run to GLOBAL multiples of 8
-values, so every non-final bit-packed span is an exact multiple of 8
-and mid-stream padding never occurs. Global alignment (vs aligning
-each span to its predecessor) costs at most 7 values per run edge but
-removes all sequential dependence: run acceptance, headers, value
-bytes, one shared pack_le call and the final byte assembly are all
-vectorized — no Python-per-run work in either direction beyond the
-decoder's header walk.
+Decoder.hs:155-163) steals up to 7 head values from each accepted run
+so that every non-final bit-packed span is an exact multiple of 8 and
+mid-stream padding never occurs. The acceptance walk is a scalar loop
+of a few integer ops per candidate run; everything that touches bytes
+— headers, run values, one shared pack_le call for all spans, and the
+final interleaved assembly — is vectorized, as is decode's value
+materialization (one np.repeat for all runs + one unpack_le for all
+groups behind a lightweight header walk).
 """
 
 from __future__ import annotations
@@ -179,7 +179,7 @@ def decode(buf: bytes | memoryview, bit_width: int, n_values: int) -> np.ndarray
     rle_counts: list[int] = []
     bp_byte_off: list[int] = []
     bp_counts: list[int] = []
-    order: list[tuple[int, int, int]] = []  # (kind, index, count)
+    order: list[tuple[int, int]] = []  # (kind, count)
     rawb = raw.tobytes()
     while got < n_values and pos < end:
         # inlined ULEB128 (same semantics as varint.decode; the call
@@ -202,7 +202,7 @@ def decode(buf: bytes | memoryview, bit_width: int, n_values: int) -> np.ndarray
         if header & 1:
             ngroups = header >> 1
             cnt = ngroups * 8
-            order.append((1, len(bp_byte_off), cnt))
+            order.append((1, cnt))
             bp_byte_off.append(pos)
             bp_counts.append(cnt)
             pos += ngroups * bit_width
@@ -211,7 +211,7 @@ def decode(buf: bytes | memoryview, bit_width: int, n_values: int) -> np.ndarray
             run_len = header >> 1
             v = int.from_bytes(rawb[pos:pos + fw], "little") if fw else 0
             pos += fw
-            order.append((0, len(rle_vals), run_len))
+            order.append((0, run_len))
             rle_vals.append(v)
             rle_counts.append(run_len)
             got += run_len
@@ -230,16 +230,12 @@ def decode(buf: bytes | memoryview, bit_width: int, n_values: int) -> np.ndarray
         gather = np.repeat(offs - prefix, nbytes) + np.arange(int(nbytes.sum()), dtype=np.int64)
         bp_stream = bitpack.unpack_le(np.ascontiguousarray(raw[gather]).tobytes(),
                                       bit_width, int(cnts.sum()))
-        bp_piece_off = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     else:
         bp_stream = np.empty(0, np.uint64)
-        bp_piece_off = np.empty(0, np.int64)
-    rle_piece_off = (np.concatenate(([0], np.cumsum(np.array(rle_counts, dtype=np.int64))[:-1]))
-                     if rle_vals else np.empty(0, np.int64))
 
     # interleave both streams into output order with two vectorized scatters
     kinds = np.array([o[0] for o in order], dtype=np.int64)
-    cnts_all = np.array([o[2] for o in order], dtype=np.int64)
+    cnts_all = np.array([o[1] for o in order], dtype=np.int64)
     dst_off = np.concatenate(([0], np.cumsum(cnts_all)[:-1]))
     out = np.empty(got, dtype=np.uint64)
     for kind, stream in ((0, rle_stream), (1, bp_stream)):

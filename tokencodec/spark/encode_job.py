@@ -224,6 +224,9 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     done = set(tbl.committed_groups())
     if n_salts is None:
         n_salts = part.salts_for(df.count())
+    if partitions is None:
+        # 4x tasks per core smooths (bucket, salt) group-size stragglers
+        partitions = spark.sparkContext.defaultParallelism * 4
     encoder = make_encoder(max_chunk_tokens)
     for g in range(commit_groups):
         key = f"g{g}"
