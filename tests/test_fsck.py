@@ -19,8 +19,9 @@ def test_fsck_clean_and_corrupt(spark, tmp_path):
     assert bad == 0
     assert rep.count() > 0
 
-    # corrupt one page payload byte in one data file
-    f = sorted(glob.glob(f"{root}/data/run-*/*.parquet"))[0]
+    # corrupt one page payload byte in one non-empty data file
+    f = next(p for p in sorted(glob.glob(f"{root}/data/run-*/*.parquet"))
+             if pq.ParquetFile(p).metadata.num_rows > 0)
     t = pq.read_table(f)
     pages = t.column("page_tokens").to_pylist()
     pages[0] = pages[0][:40] + bytes([pages[0][40] ^ 0xFF]) + pages[0][41:]
