@@ -51,7 +51,7 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
     """Encode a deterministic synth token table sized off the sf dir."""
     from tokencodec.spark import encode_job, synth
     n_rows = _t(spark, sf_dir, "documents").count() * 4
-    root = f"/tmp/tokencodec_entry/n{n_rows}_s{SEED}"
+    root = f"/tmp/tokencodec_entry/v2_n{n_rows}_s{SEED}"
     key = root
     if key not in _ENGINE_CACHE:
         from tokencodec.spark.table import SnapshotTable

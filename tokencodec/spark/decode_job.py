@@ -27,6 +27,8 @@ from tokencodec.spark.encode_job import read_pages
 from tokencodec.spark.synth import SCHEMA_DDL
 
 _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
+_PART_COLS = _PAGE_COLS + ["doc_part", "doc_parts"]
+_PART_DDL = SCHEMA_DDL + ", doc_part int, doc_parts int"
 
 
 def _decode_chunk(p_tokens: bytes, p_doc: bytes, p_ntok: bytes,
@@ -53,8 +55,15 @@ def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in it:
         idx = {n: i for i, n in enumerate(batch.schema.names)}
         cols = [batch.column(idx[c]) for c in _PAGE_COLS]
+        parts = [batch.column(idx[c]) for c in ("doc_part", "doc_parts")]
         for r in range(batch.num_rows):
-            yield _decode_chunk(*(c[r].as_py() for c in cols))
+            chunk = _decode_chunk(*(c[r].as_py() for c in cols))
+            n = chunk.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(chunk.columns)
+                + [pa.array([parts[0][r].as_py()] * n, pa.int32()),
+                   pa.array([parts[1][r].as_py()] * n, pa.int32())],
+                names=list(chunk.schema.names) + ["doc_part", "doc_parts"])
 
 
 def decode(spark: SparkSession, root: str,
@@ -79,8 +88,26 @@ def decode(spark: SparkSession, root: str,
         pages = pages.filter(F.col("doc_id_min") <= doc_id_max)
     if buckets is not None:
         pages = pages.filter(F.col("bucket").isin(buckets))
-    # column pruning: only the binary pages cross the Arrow boundary
-    out = pages.select(_PAGE_COLS).mapInArrow(decode_batches, SCHEMA_DDL)
+    if "doc_part" not in pages.columns:
+        # tables written before doc splitting existed: every chunk whole
+        pages = (pages.withColumn("doc_part", F.lit(0))
+                 .withColumn("doc_parts", F.lit(1)))
+    # column pruning: only the binary pages (+ part markers) cross the
+    # Arrow boundary
+    raw = pages.select(_PART_COLS).mapInArrow(decode_batches, _PART_DDL)
+    whole = raw.filter(F.col("doc_parts") == 1).drop("doc_part", "doc_parts")
+    split = raw.filter(F.col("doc_parts") > 1)
+    # oversized documents were split across chunks at encode time
+    # (skew handling); reassemble token parts in doc_part order — the
+    # struct sort + flatten is all JVM-side
+    reassembled = (split.groupBy("doc_id")
+                   .agg(F.flatten(F.transform(
+                            F.array_sort(F.collect_list(F.struct("doc_part", "tokens"))),
+                            lambda s: s["tokens"])).alias("tokens"),
+                        F.sum("n_tok").cast("int").alias("n_tok"),
+                        F.first("source").alias("source"))
+                   .select("doc_id", "tokens", "n_tok", "source"))
+    out = whole.unionByName(reassembled)
     if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:

@@ -37,6 +37,7 @@ from tokencodec.spark.table import SnapshotTable
 PAGES_DDL = (
     "bucket int, salt int, chunk_seq int, chunk_uid string, "
     "n_rows int, n_tokens bigint, doc_id_min string, doc_id_max string, "
+    "doc_part int, doc_parts int, "
     "tokens_codec string, doc_id_codec string, n_tok_codec string, source_codec string, "
     "raw_bytes bigint, enc_bytes bigint, "
     "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary"
@@ -53,7 +54,8 @@ def _str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _encode_chunk(bucket: int, salt: int, seq: int,
                   doc_id: pa.Array, tok_values: np.ndarray,
-                  n_tok: np.ndarray, source: pa.Array) -> dict:
+                  n_tok: np.ndarray, source: pa.Array,
+                  doc_part: int = 0, doc_parts: int = 1) -> dict:
     from tokencodec import grouped
     p_tokens = grouped.encode_tokens_column(tok_values, n_tok)
     p_ntok = pageformat.encode_int_page(n_tok, pageformat.KIND_INT32)
@@ -74,6 +76,7 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
         "n_rows": n_rows, "n_tokens": int(len(tok_values)),
         "doc_id_min": mm["min"].as_py() if n_rows else "",
         "doc_id_max": mm["max"].as_py() if n_rows else "",
+        "doc_part": doc_part, "doc_parts": doc_parts,
         "tokens_codec": heads[0]["codec_name"], "doc_id_codec": heads[1]["codec_name"],
         "n_tok_codec": heads[2]["codec_name"], "source_codec": heads[3]["codec_name"],
         "raw_bytes": raw, "enc_bytes": enc,
@@ -90,6 +93,7 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
         "bucket": pa.int32(), "salt": pa.int32(), "chunk_seq": pa.int32(),
         "chunk_uid": pa.string(), "n_rows": pa.int32(), "n_tokens": pa.int64(),
         "doc_id_min": pa.string(), "doc_id_max": pa.string(),
+        "doc_part": pa.int32(), "doc_parts": pa.int32(),
         "tokens_codec": pa.string(), "doc_id_codec": pa.string(),
         "n_tok_codec": pa.string(), "source_codec": pa.string(),
         "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
@@ -196,7 +200,28 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                         if buf_tokens:
                             flush_chunk()
                             continue
-                        j = i + 1  # oversized single doc -> own chunk
+                        # oversized single document: split across chunks
+                        # (north-rule skew handling — one 10^8-token doc
+                        # must never materialize as one page); parts are
+                        # reassembled by doc_id on decode
+                        L = int(ntok[i])
+                        n_parts = (L + max_chunk_tokens - 1) // max_chunk_tokens
+                        if n_parts > 1:
+                            v0 = t_offsets[i]
+                            for p in range(n_parts):
+                                lo = p * max_chunk_tokens
+                                hi = min(L, lo + max_chunk_tokens)
+                                out_rows.append(_encode_chunk(
+                                    cur_key[0], cur_key[1], seq,
+                                    cols["doc_id"].slice(i, 1),
+                                    t_values[v0 + lo:v0 + hi],
+                                    np.array([hi - lo], dtype=np.int64),
+                                    cols["source"].slice(i, 1),
+                                    doc_part=p, doc_parts=n_parts))
+                                seq += 1
+                            i += 1
+                            continue
+                        j = i + 1  # fits in exactly one chunk alone
                     buf_doc.append(cols["doc_id"].slice(i, j - i))
                     buf_src.append(cols["source"].slice(i, j - i))
                     buf_vals.append(t_values[t_offsets[i]:t_offsets[j]])
