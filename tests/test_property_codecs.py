@@ -1,0 +1,56 @@
+"""Hypothesis property tests: decode(encode(x)) == x for arbitrary
+int32 content across the full codec surface (beyond the seeded sweeps,
+the framework hunts boundary shapes: empty runs, width edges, single
+values, adversarial alternations)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tokencodec import codecs, pageformat
+from tokencodec.codecs import rle
+
+
+int32s = st.integers(min_value=0, max_value=(1 << 31) - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(int32s, min_size=0, max_size=400))
+def test_auto_int_page_roundtrip(xs):
+    vals = np.array(xs, dtype=np.int64)
+    page = pageformat.encode_int_page(vals, pageformat.KIND_INT32)
+    np.testing.assert_array_equal(pageformat.decode_int_page(page).astype(np.int64), vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(1 << 40), max_value=1 << 40),
+                min_size=0, max_size=300))
+def test_auto_int64_page_roundtrip(xs):
+    vals = np.array(xs, dtype=np.int64)
+    page = pageformat.encode_int_page(vals, pageformat.KIND_INT64)
+    np.testing.assert_array_equal(pageformat.decode_int_page(page), vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(1, 40)),
+                min_size=1, max_size=60))
+def test_rle_hybrid_runs_roundtrip(run_spec):
+    vals = np.repeat(np.array([v for v, _ in run_spec], dtype=np.uint64),
+                     np.array([c for _, c in run_spec], dtype=np.int64))
+    buf = rle.encode(vals, 5)
+    np.testing.assert_array_equal(rle.decode(buf, 5, len(vals)), vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=30), min_size=1, max_size=80),
+       st.booleans())
+def test_string_page_roundtrip(blobs, force_fsst):
+    data = b"".join(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    codec = codecs.FSST if force_fsst and len(data) else None
+    page = pageformat.encode_string_page(offsets, data, codec=codec,
+                                         _allow_dict=not force_fsst)
+    oo, dd = pageformat.decode_string_page(page)
+    np.testing.assert_array_equal(oo, offsets)
+    assert dd == data

@@ -88,26 +88,35 @@ def decode(spark: SparkSession, root: str,
         pages = pages.filter(F.col("doc_id_min") <= doc_id_max)
     if buckets is not None:
         pages = pages.filter(F.col("bucket").isin(buckets))
-    if "doc_part" not in pages.columns:
+    has_parts = "doc_part" in pages.columns
+    if not has_parts:
         # tables written before doc splitting existed: every chunk whole
         pages = (pages.withColumn("doc_part", F.lit(0))
                  .withColumn("doc_parts", F.lit(1)))
+    # cheap metadata probe (columnar scan of one small column): skip the
+    # reassembly aggregate entirely when no document was split
+    max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
+                 if has_parts else 1)
+    any_split = bool(max_parts and max_parts > 1)
     # column pruning: only the binary pages (+ part markers) cross the
     # Arrow boundary
     raw = pages.select(_PART_COLS).mapInArrow(decode_batches, _PART_DDL)
-    whole = raw.filter(F.col("doc_parts") == 1).drop("doc_part", "doc_parts")
-    split = raw.filter(F.col("doc_parts") > 1)
-    # oversized documents were split across chunks at encode time
-    # (skew handling); reassemble token parts in doc_part order — the
-    # struct sort + flatten is all JVM-side
-    reassembled = (split.groupBy("doc_id")
-                   .agg(F.flatten(F.transform(
-                            F.array_sort(F.collect_list(F.struct("doc_part", "tokens"))),
-                            lambda s: s["tokens"])).alias("tokens"),
-                        F.sum("n_tok").cast("int").alias("n_tok"),
-                        F.first("source").alias("source"))
-                   .select("doc_id", "tokens", "n_tok", "source"))
-    out = whole.unionByName(reassembled)
+    if not any_split:
+        out = raw.drop("doc_part", "doc_parts")
+    else:
+        whole = raw.filter(F.col("doc_parts") == 1).drop("doc_part", "doc_parts")
+        split = raw.filter(F.col("doc_parts") > 1)
+        # oversized documents were split across chunks at encode time
+        # (skew handling); reassemble token parts in doc_part order —
+        # the struct sort + flatten is all JVM-side
+        reassembled = (split.groupBy("doc_id")
+                       .agg(F.flatten(F.transform(
+                                F.array_sort(F.collect_list(F.struct("doc_part", "tokens"))),
+                                lambda s: s["tokens"])).alias("tokens"),
+                            F.sum("n_tok").cast("int").alias("n_tok"),
+                            F.first("source").alias("source"))
+                       .select("doc_id", "tokens", "n_tok", "source"))
+        out = whole.unionByName(reassembled)
     if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
