@@ -1,0 +1,96 @@
+"""CLI: python -m tokencodec <encode|decode|audit|fsck|snapshots> ...
+
+The operational surface a user of the reference's `parquet-hs` CLI
+(/root/reference/src/Main.hs:15-18 — read a file, print records) would
+switch to, Spark-sized: encode a token table, decode it back, audit
+round-trip equality, verify integrity, inspect snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tokencodec")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a parquet token table into a snapshot table")
+    enc.add_argument("src", help="parquet dir with (doc_id, tokens, n_tok, source)")
+    enc.add_argument("out", help="snapshot table root")
+    enc.add_argument("--commit-groups", type=int, default=2)
+    enc.add_argument("--max-chunk-tokens", type=int, default=1 << 20)
+
+    dec = sub.add_parser("decode", help="decode a snapshot table back to parquet")
+    dec.add_argument("root")
+    dec.add_argument("out")
+    dec.add_argument("--doc-id-min")
+    dec.add_argument("--doc-id-max")
+
+    aud = sub.add_parser("audit", help="bit-identical round-trip check vs a source table")
+    aud.add_argument("src")
+    aud.add_argument("root")
+
+    fs = sub.add_parser("fsck", help="verify CRCs + counts of every committed chunk")
+    fs.add_argument("root")
+
+    snaps = sub.add_parser("snapshots", help="list committed snapshots")
+    snaps.add_argument("root")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":  # no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        for s in SnapshotTable(args.root).snapshots():
+            print(json.dumps({k: s[k] for k in
+                              ("snapshot_id", "new_groups", "timestamp_ms", "metrics")}))
+        return 0
+
+    from tokencodec.spark.session import get_spark
+    spark = get_spark("tokencodec-cli", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "encode":
+            from tokencodec.spark import encode_job
+            pages = encode_job.encode_from_parquet(
+                spark, args.src, args.out, commit_groups=args.commit_groups,
+                max_chunk_tokens=args.max_chunk_tokens)
+            from pyspark.sql import functions as F
+            m = pages.agg(F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens"),
+                          F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+                          ).collect()[0]
+            print(json.dumps({"chunks": m.chunks, "tokens": int(m.tokens),
+                              "raw_bytes": int(m.raw), "enc_bytes": int(m.enc),
+                              "ratio": round(m.enc / m.raw, 4)}))
+        elif args.cmd == "decode":
+            from tokencodec.spark import decode_job
+            df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,
+                                   doc_id_max=args.doc_id_max)
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "audit":
+            from tokencodec.spark import decode_job
+            res = decode_job.audit(spark.read.parquet(args.src),
+                                   decode_job.decode(spark, args.root))
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
+        elif args.cmd == "fsck":
+            from pyspark.sql import functions as F
+            from tokencodec.spark import fsck
+            rep = fsck.fsck(spark, args.root)
+            bad = rep.filter(~F.col("ok"))
+            n_bad = bad.count()
+            for r in bad.limit(20).collect():
+                print(f"BAD {r.chunk_uid}: {r.error}", file=sys.stderr)
+            print(json.dumps({"chunks": rep.count(), "bad": n_bad}))
+            return 0 if n_bad == 0 else 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
