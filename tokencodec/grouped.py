@@ -55,11 +55,12 @@ def _doc_stats(values: np.ndarray, offsets: np.ndarray):
         dmax[nz] = np.maximum.reduceat(values, starts[nz])
         dmin[nz] = np.minimum.reduceat(values, starts[nz])
     # changes + sortedness inside each doc via cumsum of pairwise flags
+    # (int32 accumulators: chunk sizes are budget-bounded << 2^31)
     if len(values) > 1:
-        neq = np.concatenate(([0], (values[1:] != values[:-1]).astype(np.int64)))
-        le = np.concatenate(([0], (values[1:] >= values[:-1]).astype(np.int64)))
-        cn = np.cumsum(neq)
-        cl = np.cumsum(le)
+        neq = np.concatenate(([0], (values[1:] != values[:-1]).view(np.int8)))
+        le = np.concatenate(([0], (values[1:] >= values[:-1]).view(np.int8)))
+        cn = np.cumsum(neq, dtype=np.int32)
+        cl = np.cumsum(le, dtype=np.int32)
         # flags at doc boundary positions don't count: subtract boundary flag
         last = np.maximum(ends - 1, starts)
         changes = cn[last] - cn[starts]
@@ -67,31 +68,36 @@ def _doc_stats(values: np.ndarray, offsets: np.ndarray):
     else:
         changes = np.zeros(len(lens), dtype=np.int64)
         nondecr = np.ones(len(lens), dtype=bool)
-    # distinct among first <=32 tokens: windowed sort
-    k = 32
-    win = np.zeros((len(lens), k), dtype=np.int64)
+    # distinct among first <=64 tokens: windowed sort (cardinality
+    # proxy; 64 draws separate a ~200-symbol vocabulary (E[distinct]
+    # ~55) from a large one (E ~64))
+    k = 64
+    win = np.full((len(lens), k), np.int64(-1))
     take = np.minimum(lens, k)
-    flat_idx = np.repeat(starts, take) + (
-        np.arange(int(take.sum())) - np.repeat(np.concatenate(([0], np.cumsum(take)[:-1])), take))
+    prefix = np.concatenate(([0], np.cumsum(take)[:-1]))
+    intra = np.arange(int(take.sum())) - np.repeat(prefix, take)
+    flat_idx = np.repeat(starts, take) + intra
     rows = np.repeat(np.arange(len(lens)), take)
-    cols = np.arange(int(take.sum())) - np.repeat(np.concatenate(([0], np.cumsum(take)[:-1])), take)
-    win[:] = np.int64(-1)
-    win[rows, cols] = values[flat_idx]
+    win[rows, intra] = values[flat_idx]
     sw = np.sort(win, axis=1)
-    card32 = (sw[:, 1:] != sw[:, :-1]).sum(axis=1) + 1 - (take < k)  # approx
-    return lens, dmin, dmax, changes, nondecr, np.maximum(card32, 1)
+    card = (sw[:, 1:] != sw[:, :-1]).sum(axis=1) + 1 - (take < k)  # approx
+    return lens, dmin, dmax, changes, nondecr, np.maximum(card, 1), take
 
 
 def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """-> int64[n_docs] group key encoded as cls*64 + param."""
-    lens, dmin, dmax, changes, nondecr, card32 = _doc_stats(values, offsets)
+    lens, dmin, dmax, changes, nondecr, card, take = _doc_stats(values, offsets)
     range_bits = np.zeros(len(lens), dtype=np.int64)
     rng = dmax - dmin
     m = rng > 0
     range_bits[m] = np.floor(np.log2(rng[m])).astype(np.int64) + 1
 
     keys = 3 * 64 + range_bits  # default: range class (FOR/bitpack)
-    keys[card32 <= 24] = _CLS_LOWCARD[0] * 64
+    # small-vocabulary docs: clearly fewer distincts in the sample
+    # window than a large vocabulary would produce; sub-keyed by range
+    # so narrow-range and wide-range vocabularies don't share one dict
+    lc = (card.astype(np.float64) <= 0.9 * take) & (take >= 32)
+    keys[lc] = _CLS_LOWCARD[0] * 64 + range_bits[lc]
     keys[nondecr & (lens >= 16) & (changes > 0)] = _CLS_DELTA[0] * 64
     keys[(changes * 3 < np.maximum(lens - 1, 1)) | (changes == 0)] = _CLS_RUNS[0] * 64
     return keys
