@@ -684,15 +684,20 @@ FROM documents ORDER BY doc_id
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 5-gram fingerprint: min md5 over word 5-windows per doc."""
+    """Rolling 5-gram fingerprint: min md5 over word 5-windows per doc.
+
+    Shuffle-free at scale: the 5-grams are built array-natively
+    (transform over sequence + slice on the split array), so no word
+    row ever leaves its document row — versus the posexplode +
+    lead() window formulation, which shuffles every word of every
+    document through an Exchange."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(" ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w),
-                       F.lead("w", 3).over(w), F.lead("w", 4).over(w))
-    grams = words.select("doc_id", F.lead("w", 4).over(w).alias("w4"), gram.alias("g"))
-    return (grams.filter(F.col("w4").isNotNull())
-            .groupBy("doc_id").agg(F.min(F.md5("g")).alias("fingerprint"))
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 4),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))
+    return (d.filter(F.size(words) >= 5)
+            .select("doc_id", F.array_min(grams).alias("fingerprint"))
             .orderBy("doc_id"))
 
 
@@ -722,9 +727,14 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.sqrt(F.aggregate(F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
                             F.lit(0.0), lambda acc, x: acc + x))
     scored = j.select("vec_id", F.round(dot / (na * nb), 6).alias("cosine"))
+    # top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows), never a global-order Window that
+    # would funnel all N scored rows through one task; ranks are stamped
+    # on the 10 survivors only
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= 10).select("rank", "vec_id", "cosine"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "vec_id", "cosine"))
 
 
 SQL_KNN_COSINE = """
@@ -793,8 +803,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
     cos = pdot / (norm("a.embedding") * norm("b.embedding"))
+    # threshold 0.4: the sf testdata's max pairwise cosine is ~0.51, so a
+    # 0.7 cutoff matched vacuously on 0 rows — 0.4 exercises the
+    # bucket-join + exact-verify logic on real pairs
     out = pairs.select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
-                       F.round(cos, 6).alias("cosine")).filter(F.col("cosine") >= 0.7)
+                       F.round(cos, 6).alias("cosine")).filter(F.col("cosine") >= 0.4)
     return out.orderBy("id_a", "id_b")
 
 
@@ -814,7 +827,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.7
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
 ORDER BY id_a, id_b
 """
 
