@@ -86,16 +86,100 @@ def q_engine_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, missing bigint, extra bigint, ok boolean")
 
 
-def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- documents-derived token table: the bridge that lets DuckDB vouch for
+# the engine itself. Tokens are a pure SQL-expressible function of the
+# `documents` testdata (ascii/length/position of each word), so the
+# DECODED rows can be hash-compared against an oracle that never touches
+# the engine — the driver-verified analog of the reference's golden
+# decode-equality test (/root/reference/tests/integration/Spec.hs:96-98).
+
+def _docs_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    toks = F.transform(
+        words,
+        lambda w, i: (F.ascii(w) * 131 + F.length(w) * 17 + i % 1009).cast("int"))
+    return d.select(F.format_string("d%09d", "doc_id").alias("doc_id"),
+                    toks.alias("tokens"),
+                    F.size(words).cast("int").alias("n_tok"),
+                    "source")
+
+
+# shared token definition for every docs-root oracle
+_SQL_DOCS_TOKENS = """
+  SELECT printf('d%09d', doc_id) AS doc_id,
+         list_transform(string_split(text, ' '),
+                        (w, i) -> ascii(w) * 131 + length(w) * 17 + (i - 1) % 1009) AS toks,
+         len(string_split(text, ' ')) AS n_tok, source
+  FROM documents
+"""
+
+
+def _docs_root(spark: SparkSession, sf_dir: str) -> str:
+    """Encode the documents-derived token table once per sf dir; a tiny
+    chunk budget (64 tokens) forces oversized-doc splitting so the
+    split/reassembly path is itself under the oracle."""
     from tokencodec.spark import encode_job
-    pages = encode_job.read_pages(spark, _engine_root(spark, sf_dir))
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/docs_v1_n{n}"
+    if root not in _ENGINE_CACHE:
+        if SnapshotTable(root).current_snapshot() is None:
+            encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                              commit_groups=2, max_chunk_tokens=64)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_decode_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship correctness row: decode() output hash-compared by
+    the driver against DuckDB computing the same rows from `documents`
+    directly (token sum + md5 of the token stream per row)."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _docs_root(spark, sf_dir))
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_DECODE_ROWS = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t ORDER BY doc_id
+"""
+
+
+def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket lineage recorded at encode time, cross-checked against
+    source truth: bucket membership (bit_length of n_tok), doc counts,
+    token counts and doc-id ranges are all SQL-expressible."""
+    from tokencodec.spark import encode_job
+    pages = encode_job.read_pages(spark, _docs_root(spark, sf_dir))
+    # split parts repeat the doc: count docs only on part 0
     return (pages.groupBy("bucket")
-            .agg(F.count("*").alias("n_chunks"),
-                 F.countDistinct("salt").alias("n_salts"),
-                 F.sum("n_rows").alias("n_docs"),
+            .agg(F.sum(F.when(F.col("doc_part") == 0, F.col("n_rows"))
+                       .otherwise(0)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
                  F.min("doc_id_min").alias("first_doc"),
                  F.max("doc_id_max").alias("last_doc"))
             .orderBy("bucket"))
+
+
+SQL_ENGINE_LINEAGE = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT CAST(length(bin(n_tok)) AS INTEGER) AS bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM t GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,36 +205,44 @@ def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming incremental encode (SURVEY op #22 analog)."""
-    import shutil
-    import tempfile
-    from tokencodec.spark import streaming, synth
+    """Structured Streaming incremental encode (SURVEY op #22 analog),
+    oracle-verified: stream-encode the documents-derived token table,
+    decode the committed snapshots, and let DuckDB recompute the same
+    rows straight from `documents`."""
+    from tokencodec.spark import decode_job, streaming
     from tokencodec.spark.table import SnapshotTable
-    base = tempfile.mkdtemp(prefix="tokencodec_stream_")
-    try:
-        src, root = f"{base}/src", f"{base}/enc"
-        synth.token_table(spark, 120, seed=13).write.mode("append").parquet(src)
-        streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 16)
-        snaps = SnapshotTable(root).snapshots()
-        from tokencodec.spark import decode_job
-        n = decode_job.decode(spark, root).count()
-        return spark.createDataFrame(
-            [(len(snaps), n, n == 120)],
-            "n_commits bigint, decoded_rows bigint, ok boolean")
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    n = _t(spark, sf_dir, "documents").count()
+    base = f"/tmp/tokencodec_entry/stream_v1_n{n}"
+    src, root = f"{base}/src", f"{base}/enc"
+    if SnapshotTable(root).current_snapshot() is None:
+        _docs_token_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+        streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 12)
+    out = decode_job.decode(spark, root)
+    return (out.select(
+        "doc_id", F.col("n_tok").cast("bigint").alias("n_tok"), "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
 
 
 def q_engine_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity verification over the committed snapshot (the
     reference's page-byte accounting, Stream/Reader.hs:349-353,
-    distributed): CRCs + count cross-checks for every chunk."""
+    distributed): CRCs + count cross-checks for every chunk, with the
+    fsck-reported totals oracle-checked against source truth."""
     from tokencodec.spark import fsck
-    rep = fsck.fsck(spark, _engine_root(spark, sf_dir))
-    return (rep.groupBy("ok")
-            .agg(F.count("*").alias("n_chunks"),
-                 F.sum("crc_checked").alias("pages_crc_checked"),
-                 F.sum("n_tokens").alias("n_tokens")).orderBy("ok"))
+    rep = fsck.fsck(spark, _docs_root(spark, sf_dir))
+    return rep.agg(F.bool_and("ok").alias("all_ok"),
+                   F.sum("n_tokens").alias("n_tokens"))
+
+
+SQL_ENGINE_FSCK = """
+SELECT bool_and(true) AS all_ok,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+"""
 
 
 def q_schema_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_encode_metrics": q_engine_encode_metrics,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
+        "engine_decode_rows": q_engine_decode_rows,
         "engine_lineage": q_engine_lineage,
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
         "engine_stream_encode": q_engine_stream_encode,
@@ -989,6 +1082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "engine_decode_rows": SQL_ENGINE_DECODE_ROWS,
+        "engine_lineage": SQL_ENGINE_LINEAGE,
+        "engine_stream_encode": SQL_ENGINE_DECODE_ROWS,
+        "engine_fsck": SQL_ENGINE_FSCK,
         "json_sink_roundtrip": SQL_JSON_SINK_ROUNDTRIP,
         "dict_encode_source": SQL_DICT_ENCODE_SOURCE,
         "rle_runs_returnflag": SQL_RLE_RUNS_RETURNFLAG,
@@ -1016,6 +1113,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_meta": SQL_MM_DECODE_META,
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
-        # engine_* queries operate on binary page payloads — not
-        # SQL-expressible; driver records rows-only checks for them.
+        # remaining rows-only entries: engine_encode_metrics (encoded
+        # byte sizes are engine-internal), engine_roundtrip_audit +
+        # engine_nested_roundtrip (binary page payloads), schema_flatten
+        # (catalog introspection), ivf_assign (float-sum order
+        # nondeterminism). The engine's decode/lineage/fsck/stream paths
+        # are oracle-verified via the documents-derived token table.
     }

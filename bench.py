@@ -61,8 +61,16 @@ def main() -> None:
     agg = pages.agg(F.sum("n_tokens").alias("t"), F.sum("raw_bytes").alias("r"),
                     F.sum("enc_bytes").alias("e"), F.count("*").alias("c")).collect()[0]
 
-    timed("q_decode", lambda: decode_job.decode(spark, root).count())
-    audit = timed("q_audit", lambda: decode_job.audit(df, decode_job.decode(spark, root)))
+    # headline decode: packed binary-blob output (tokens cross the
+    # Python->JVM boundary as bulk buffers, not per-element arrays);
+    # list decode timed alongside for the API-default number
+    timed("q_decode", lambda: decode_job.decode(spark, root, packed=True).count())
+    timed("q_decode_list", lambda: decode_job.decode(spark, root).count())
+    # audit consumes blobs on both sides: packed source vs packed decode,
+    # one aggregate pass per side (no row shuffle)
+    audit = timed("q_audit", lambda: decode_job.audit(
+        encode_job.pack_source(spark, src),
+        decode_job.decode(spark, root, packed=True)))
 
     # reference parquet (uncompressed Spark writer — the baseline artifact)
     ref = f"/tmp/tokencodec_bench/ref_{os.getpid()}"

@@ -37,7 +37,7 @@ from tokencodec.spark.table import SnapshotTable
 PAGES_DDL = (
     "bucket int, salt int, chunk_seq int, chunk_uid string, "
     "n_rows int, n_tokens bigint, doc_id_min string, doc_id_max string, "
-    "doc_part int, doc_parts int, "
+    "doc_part int, doc_parts int, split_uid string, "
     "tokens_codec string, doc_id_codec string, n_tok_codec string, source_codec string, "
     "raw_bytes bigint, enc_bytes bigint, "
     "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary"
@@ -55,7 +55,8 @@ def _str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def _encode_chunk(bucket: int, salt: int, seq: int,
                   doc_id: pa.Array, tok_values: np.ndarray,
                   n_tok: np.ndarray, source: pa.Array,
-                  doc_part: int = 0, doc_parts: int = 1) -> dict:
+                  doc_part: int = 0, doc_parts: int = 1,
+                  uid_prefix: str = "g0", split_uid: str = "") -> dict:
     from tokencodec import grouped
     p_tokens = grouped.encode_tokens_column(tok_values, n_tok)
     p_ntok = pageformat.encode_int_page(n_tok, pageformat.KIND_INT32)
@@ -72,11 +73,13 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     mm = pc.min_max(doc_id) if n_rows else None
     return {
         "bucket": bucket, "salt": salt, "chunk_seq": seq,
-        "chunk_uid": f"b{bucket:02d}-s{salt:04d}-c{seq:06d}",
+        # table-unique: prefixed with the commit-group key, so streaming
+        # micro-batches (each their own group) can never repeat a uid
+        "chunk_uid": f"{uid_prefix}-b{bucket:02d}-s{salt:04d}-c{seq:06d}",
         "n_rows": n_rows, "n_tokens": int(len(tok_values)),
         "doc_id_min": mm["min"].as_py() if n_rows else "",
         "doc_id_max": mm["max"].as_py() if n_rows else "",
-        "doc_part": doc_part, "doc_parts": doc_parts,
+        "doc_part": doc_part, "doc_parts": doc_parts, "split_uid": split_uid,
         "tokens_codec": heads[0]["codec_name"], "doc_id_codec": heads[1]["codec_name"],
         "n_tok_codec": heads[2]["codec_name"], "source_codec": heads[3]["codec_name"],
         "raw_bytes": raw, "enc_bytes": enc,
@@ -93,7 +96,7 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
         "bucket": pa.int32(), "salt": pa.int32(), "chunk_seq": pa.int32(),
         "chunk_uid": pa.string(), "n_rows": pa.int32(), "n_tokens": pa.int64(),
         "doc_id_min": pa.string(), "doc_id_max": pa.string(),
-        "doc_part": pa.int32(), "doc_parts": pa.int32(),
+        "doc_part": pa.int32(), "doc_parts": pa.int32(), "split_uid": pa.string(),
         "tokens_codec": pa.string(), "doc_id_codec": pa.string(),
         "n_tok_codec": pa.string(), "source_codec": pa.string(),
         "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
@@ -130,13 +133,22 @@ def _tokens_as_values_offsets(batch: pa.RecordBatch, name: str) -> tuple[np.ndar
 
 
 def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-                 tokens_col: str = "tokens"):
+                 tokens_col: str = "tokens",
+                 uid_prefix: str | None = None, commit_groups: int = 1):
     """mapInArrow function: bucketed batches -> encoded chunk rows.
 
     Carries buffered rows across Arrow batches inside one Spark
     partition; chunk boundaries depend only on the deterministic
     (bucket, salt, n_tok, doc_id) order, never on Arrow batch sizes.
+
+    ``uid_prefix`` names the commit group in chunk/split uids; when None
+    it is derived per-chunk as ``g{salt % commit_groups}`` (the batch
+    encode's group key), keeping uids table-unique AND deterministic
+    under resume (a re-run of a group reproduces the same uids).
     """
+
+    def _prefix(salt: int) -> str:
+        return uid_prefix if uid_prefix is not None else f"g{salt % commit_groups}"
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cur_key: tuple[int, int] | None = None
@@ -156,7 +168,8 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
             src = pa.concat_arrays(buf_src) if len(buf_src) > 1 else buf_src[0]
             vals = np.concatenate(buf_vals) if len(buf_vals) > 1 else buf_vals[0]
             ntok = np.concatenate(buf_ntok) if len(buf_ntok) > 1 else buf_ntok[0]
-            out_rows.append(_encode_chunk(cur_key[0], cur_key[1], seq, doc, vals, ntok, src))
+            out_rows.append(_encode_chunk(cur_key[0], cur_key[1], seq, doc, vals, ntok, src,
+                                          uid_prefix=_prefix(cur_key[1])))
             seq += 1
             buf_doc, buf_vals, buf_ntok, buf_src = [], [], [], []
             buf_tokens = 0
@@ -208,6 +221,12 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                         n_parts = (L + max_chunk_tokens - 1) // max_chunk_tokens
                         if n_parts > 1:
                             v0 = t_offsets[i]
+                            pfx = _prefix(cur_key[1])
+                            # one uid per split group: decode reassembles
+                            # on it, so a duplicate doc_id encoded twice
+                            # (two source rows, or two streaming batches)
+                            # can never merge parts across copies
+                            sid = f"{pfx}-b{cur_key[0]:02d}-s{cur_key[1]:04d}-c{seq:06d}"
                             for p in range(n_parts):
                                 lo = p * max_chunk_tokens
                                 hi = min(L, lo + max_chunk_tokens)
@@ -217,7 +236,8 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                                     t_values[v0 + lo:v0 + hi],
                                     np.array([hi - lo], dtype=np.int64),
                                     cols["source"].slice(i, 1),
-                                    doc_part=p, doc_parts=n_parts))
+                                    doc_part=p, doc_parts=n_parts,
+                                    uid_prefix=pfx, split_uid=sid))
                                 seq += 1
                             i += 1
                             continue
@@ -244,36 +264,64 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
            commit_groups: int = 2, n_salts: int | None = None,
            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
            partitions: int | None = None) -> DataFrame:
-    """Run the encode pipeline with snapshot commits; returns pages DF."""
+    """Run the encode pipeline with snapshot commits; returns pages DF.
+
+    All remaining commit groups are encoded in ONE pass over the source
+    (group = salt % commit_groups, written side-by-side via
+    ``partitionBy``), then committed group-by-group in order — the
+    source is read exactly once no matter how many groups, and a job
+    resumed after a partial commit re-encodes only the missing groups
+    (one filtered pass). Chunk bytes are invariant to grouping: chunks
+    are cut inside (bucket, salt) segments and a salt is never split
+    across groups.
+    """
     tbl = SnapshotTable(out_root)
     done = set(tbl.committed_groups())
+    remaining = [g for g in range(commit_groups) if f"g{g}" not in done]
+    if not remaining:
+        return read_pages(spark, out_root)
     if n_salts is None:
         n_salts = part.salts_for(df.count())
     if partitions is None:
         # 4x tasks per core smooths (bucket, salt) group-size stragglers
         partitions = spark.sparkContext.defaultParallelism * 4
-    encoder = make_encoder(max_chunk_tokens)
-    for g in range(commit_groups):
-        key = f"g{g}"
-        if key in done:
-            continue
-        t0 = time.time()
-        sub = df if commit_groups == 1 else df.filter(
-            F.pmod(F.length(F.bin(F.col("n_tok"))), F.lit(commit_groups)) == g)
-        bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
-        pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
-        run_dir = tbl.new_run_dir()
+    encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
+    t0 = time.time()
+    sub = df
+    if len(remaining) < commit_groups:
+        # resume: one filtered pass over the source for ALL missing
+        # groups (group is a pure function of doc_id, pushed below the
+        # shuffle)
+        grp = F.pmod(F.pmod(F.crc32(F.col("doc_id")), F.lit(n_salts)),
+                     F.lit(commit_groups))
+        sub = df.filter(grp.isin([int(g) for g in remaining]))
+    bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
+    pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+    run_dir = tbl.new_run_dir()
+    if commit_groups == 1:
         pages.write.mode("overwrite").parquet(run_dir)
-        wall = time.time() - t0
-        written = spark.read.parquet(run_dir)
-        m = written.agg(
+        group_dirs = {0: run_dir}
+    else:
+        (pages.withColumn("grp", F.pmod(F.col("salt"), F.lit(commit_groups)))
+         .write.mode("overwrite").partitionBy("grp").parquet(run_dir))
+        group_dirs = {g: os.path.join(run_dir, f"grp={g}") for g in remaining}
+    wall = time.time() - t0
+    for g in remaining:
+        gdir = group_dirs[g]
+        if not os.path.exists(gdir.split("://")[-1] if "://" in gdir else gdir):
+            # group had zero rows: commit an empty path list so resume
+            # knows it is done
+            tbl.commit({f"g{g}": []}, metrics={"n_chunks": 0, "n_rows": 0,
+                                               "n_tokens": 0})
+            continue
+        m = spark.read.parquet(gdir).agg(
             F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
             F.sum("n_tokens").alias("n_tokens"), F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes")).collect()[0].asDict()
         m = {k: int(v or 0) for k, v in m.items()}
-        m["wall_sec"] = round(wall, 3)
-        m["tokens_per_sec"] = round(m["n_tokens"] / wall, 1) if wall > 0 else None
-        tbl.commit({key: [run_dir]}, metrics=m)
+        m["pass_wall_sec"] = round(wall, 3)
+        m["pass_groups"] = len(remaining)
+        tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 
 

@@ -61,10 +61,11 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
 
 def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in it:
-        names = batch.schema.names
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        cols = {n: batch.column(idx[n]) for n in _COLS}
         rows_ok, errs, nrows, ntoks, uids, checked = [], [], [], [], [], []
         for r in range(batch.num_rows):
-            row = {n: batch.column(names.index(n))[r].as_py() for n in _COLS}
+            row = {n: cols[n][r].as_py() for n in _COLS}
             ok, err, chk = _check_chunk(row)
             uids.append(row["chunk_uid"])
             rows_ok.append(ok)

@@ -32,12 +32,15 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(out_root, "_stream_checkpoint")
     tbl = SnapshotTable(out_root)
-    encoder = make_encoder(max_chunk_tokens)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         key = f"stream-batch-{batch_id}"
         if key in tbl.committed_groups():
             return  # replayed micro-batch after restart: already committed
+        # per-batch uid prefix: each micro-batch is its own commit group
+        # and restarts chunk_seq per (bucket, salt), so appended batches
+        # would otherwise repeat chunk uids
+        encoder = make_encoder(max_chunk_tokens, uid_prefix=key)
         bucketed = part.bucketed(batch_df, n_salts=part.salts_for(batch_df.count()))
         pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
         run_dir = tbl.new_run_dir()
