@@ -306,18 +306,80 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def q_rle_runs_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RLE codec analog (op #13/#15): gaps-and-islands run stats."""
+    """RLE codec analog (op #13/#15): run stats over the total key order.
+
+    Scale-safe plan (no global-order Window anywhere): range-partition
+    on the sort keys, detect runs per partition inside one vectorized
+    mapInArrow pass (the engine's own run detection, cf.
+    tokencodec/stats.py), then stitch runs that span partition
+    boundaries on a boundary table of <= 2 rows per partition — the
+    only single-partition step operates on partition-count-sized
+    metadata, never on row data. The former formulation (two
+    row_number() over an unpartitioned Window) funneled the entire
+    table through ONE task.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     li = _t(spark, sf_dir, "lineitem")
     # order must be total across engines: include the flag so any
     # remaining ties are between rows with equal flag (run-safe)
     keys = ["l_orderkey", "l_linenumber", "l_returnflag", "l_partkey",
             "l_suppkey", "l_extendedprice"]
-    w = Window.orderBy(*keys)
-    wf = Window.partitionBy("l_returnflag").orderBy(*keys)
-    runs = (li.select("l_returnflag",
-                      (F.row_number().over(w) - F.row_number().over(wf)).alias("grp"))
-            .groupBy("l_returnflag", "grp").agg(F.count("*").alias("run_len")))
-    return (runs.groupBy("l_returnflag")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rdf = (li.select(*keys)
+           .repartitionByRange(n_part, *keys)
+           .sortWithinPartitions(*keys)
+           .select(F.spark_partition_id().alias("pid"), "l_returnflag"))
+
+    def detect_runs(it):
+        pid, chunks = None, []
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            pid = b.column(0)[0].as_py()
+            chunks.append(b.column(1))
+        if pid is None:
+            return
+        col = pa.concat_arrays(chunks)
+        n = len(col)
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(~eq) + 1
+        starts = np.concatenate(([0], change))
+        lens = np.diff(np.concatenate((starts, [n])))
+        k = len(starts)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid] * k, pa.int32()),
+             pa.array(np.arange(k, dtype=np.int32)),
+             col.take(pa.array(starts)),
+             pa.array(lens.astype(np.int64)),
+             pa.array(starts == 0),
+             pa.array(np.arange(k) == k - 1)],
+            names=["pid", "seq", "flag", "run_len", "is_first", "is_last"])
+
+    runs = rdf.mapInArrow(
+        detect_runs,
+        "pid int, seq int, flag string, run_len bigint, is_first boolean, is_last boolean")
+    interior = runs.filter(~F.col("is_first") & ~F.col("is_last"))
+    boundary = runs.filter(F.col("is_first") | F.col("is_last"))
+    # stitch boundary-spanning runs: <= 2 rows per partition, so this
+    # global-order window runs over partition-count metadata only
+    w = Window.orderBy("pid", "seq")
+    chained = (boundary
+               .withColumn("merge_prev",
+                           F.coalesce((F.lag("pid").over(w) != F.col("pid"))
+                                      & F.lag("is_last").over(w) & F.col("is_first")
+                                      & (F.lag("flag").over(w) == F.col("flag")),
+                                      F.lit(False)))
+               .withColumn("chain",
+                           F.sum(F.when(F.col("merge_prev"), 0).otherwise(1)).over(w)))
+    merged = (chained.groupBy("chain")
+              .agg(F.first("flag").alias("flag"),
+                   F.sum("run_len").alias("run_len")))
+    all_runs = interior.select("flag", "run_len").unionByName(
+        merged.select("flag", "run_len"))
+    return (all_runs.groupBy(F.col("flag").alias("l_returnflag"))
             .agg(F.count("*").alias("n_runs"),
                  F.max("run_len").alias("max_run"),
                  F.sum("run_len").cast("bigint").alias("n_values"))
@@ -620,10 +682,19 @@ ORDER BY s.doc_id
 """
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                        band_cap: int = 1000) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> 4 minhashes -> 2 bands of
     2 -> candidate pairs via band bucket-join -> exact unigram Jaccard
-    on candidates only (the at-scale shape: no all-pairs join)."""
+    on candidates only (the at-scale shape: no all-pairs join).
+
+    ``band_cap`` guards the bucket-join against hot bands: a band bucket
+    holding B docs yields B^2 candidate pairs, so one degenerate band
+    (e.g. a common minhash over short docs) can go quadratic at 100 TB.
+    Buckets above the cap are dropped before the self-join — standard
+    LSH practice (an over-full band carries no discriminating power).
+    The cap is far above any bucket in the sf testdata, so oracle
+    output is unchanged there."""
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
     sig = words.groupBy("doc_id").agg(
@@ -633,6 +704,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(
             F.concat(F.lit("b0:"), "mh0", F.lit("|"), "mh1"),
             F.concat(F.lit("b1:"), "mh2", F.lit("|"), "mh3"))).alias("band"))
+    band_ok = (bands.groupBy("band").agg(F.count("*").alias("bsz"))
+               .filter(F.col("bsz") <= band_cap).drop("bsz"))
+    bands = bands.join(band_ok, "band")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

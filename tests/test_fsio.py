@@ -1,0 +1,56 @@
+"""Filesystem abstraction tests: LocalFS semantics plus the HadoopFS
+implementation driven end-to-end through Spark's JVM gateway (using
+Hadoop's LocalFileSystem via a file:// root — the same code path an
+hdfs:// or s3a:// root would take)."""
+
+import pytest
+
+from tokencodec.spark.fsio import HadoopFS, LocalFS, fs_for
+from tokencodec.spark.table import SnapshotTable
+
+
+def test_fs_routing():
+    assert isinstance(fs_for("/tmp/x"), LocalFS)
+    assert isinstance(fs_for("file:///tmp/x"), LocalFS)
+
+
+def test_localfs_create_excl(tmp_path):
+    fs = LocalFS()
+    p = f"file://{tmp_path}/claim.json"
+    fs.create_excl(p, "a")
+    assert fs.read_text(p) == "a"
+    with pytest.raises(FileExistsError):
+        fs.create_excl(p, "b")
+    fs.write_atomic(p, "c")
+    assert fs.read_text(p) == "c"
+
+
+def test_hadoopfs_roundtrip(spark, tmp_path):
+    root = f"file://{tmp_path}/h"
+    fs = HadoopFS(root)
+    fs.mkdirs(f"{root}/d")
+    assert fs.exists(f"{root}/d")
+    fs.create_excl(f"{root}/d/one.json", '{"x": 1}')
+    assert fs.read_text(f"{root}/d/one.json") == '{"x": 1}'
+    with pytest.raises(Exception):
+        fs.create_excl(f"{root}/d/one.json", "dup")
+    fs.write_atomic(f"{root}/d/CURRENT", "one.json")
+    fs.write_atomic(f"{root}/d/CURRENT", "two.json")
+    assert fs.read_text(f"{root}/d/CURRENT") == "two.json"
+    assert sorted(fs.listdir(f"{root}/d")) == ["CURRENT", "one.json"]
+
+
+def test_snapshot_table_on_hadoopfs(spark, tmp_path):
+    """Full commit/read cycle with manifests served by the Hadoop FS."""
+    root = f"file://{tmp_path}/tbl"
+    tbl = SnapshotTable(root, fs=HadoopFS(root))
+    assert tbl.current_snapshot() is None
+    tbl.commit({"g0": [f"{root}/data/run-a"]}, metrics={"n": 1})
+    tbl.commit({"g1": [f"{root}/data/run-b"]})
+    tbl2 = SnapshotTable(root, fs=HadoopFS(root))
+    snap = tbl2.current_snapshot()
+    assert snap["snapshot_id"] == 1
+    assert sorted(tbl2.committed_groups()) == ["g0", "g1"]
+    assert len(tbl2.snapshots()) == 2
+    with pytest.raises(ValueError, match="already committed"):
+        tbl2.commit({"g0": ["x"]})

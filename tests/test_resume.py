@@ -85,3 +85,21 @@ def test_synth_partition_independent(spark):
     a = synth.token_table(spark, 300, seed=3, partitions=1)
     b = synth.token_table(spark, 300, seed=3, partitions=7)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_snapshot_table_file_uri_root(spark, tmp_path):
+    """The manifest layer is scheme-transparent: a file:// URI root must
+    encode, resume-noop, and decode exactly like a plain path."""
+    from tokencodec.spark import decode_job
+
+    root = f"file://{tmp_path}/uri_enc"
+    df = synth.token_table(spark, 150, seed=9)
+    encode_job.encode(spark, df, root, commit_groups=2)
+    snap = SnapshotTable(root).current_snapshot()
+    assert snap["snapshot_id"] == 1 and len(snap["groups"]) == 2
+    assert all(p.startswith("file://") for ps in snap["groups"].values() for p in ps)
+    # rerun is a no-op (resume sees both groups committed)
+    encode_job.encode(spark, df, root, commit_groups=2)
+    assert SnapshotTable(root).current_snapshot()["snapshot_id"] == 1
+    decoded = decode_job.decode(spark, root)
+    assert decode_job.audit(df, decoded) == {"missing": 0, "extra": 0, "ok": True}

@@ -308,7 +308,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     wall = time.time() - t0
     for g in remaining:
         gdir = group_dirs[g]
-        if not os.path.exists(gdir.split("://")[-1] if "://" in gdir else gdir):
+        if not tbl.fs.exists(gdir):
             # group had zero rows: commit an empty path list so resume
             # knows it is done
             tbl.commit({f"g{g}": []}, metrics={"n_chunks": 0, "n_rows": 0,

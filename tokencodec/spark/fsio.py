@@ -1,0 +1,127 @@
+"""Filesystem abstraction for the snapshot/manifest layer.
+
+The reference reads any offset-addressable source
+(/root/reference/src/Parquet/Reader.hs:222-248 supports local files and
+HTTP ranges); our manifest IO must likewise not assume a local POSIX
+filesystem — a 100 TB deployment keeps tables on s3a:// or hdfs://.
+
+Two implementations behind one small interface:
+
+- ``LocalFS``: plain paths and file:// URIs via os/open (the sandbox
+  path, and the default).
+- ``HadoopFS``: any scheme Spark's Hadoop configuration can resolve
+  (hdfs://, s3a://, gs://, ...), driven through the active
+  SparkSession's JVM gateway — no extra Python dependencies.
+
+Atomicity notes: snapshot files are claimed create-exclusive (O_EXCL /
+FileSystem.create(overwrite=false)), which both backends enforce. The
+CURRENT pointer swap is rename-based — atomic on POSIX and HDFS;
+object stores without atomic rename (raw S3) should front the manifest
+directory with a real catalog (Iceberg/DynamoDB-style), which is what
+this layer's API is shaped to be replaced by.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+class LocalFS:
+    """'' and 'file' schemes."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def read_text(self, path: str) -> str:
+        with open(self._p(path)) as f:
+            return f.read()
+
+    def create_excl(self, path: str, text: str) -> None:
+        """Create-if-absent; raises FileExistsError when present."""
+        fd = os.open(self._p(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+
+    def write_atomic(self, path: str, text: str) -> None:
+        p = self._p(path)
+        tmp = os.path.join(os.path.dirname(p), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(self._p(path))
+
+
+class HadoopFS:
+    """Any Hadoop-resolvable scheme via the active SparkSession's JVM."""
+
+    def __init__(self, root: str):
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"manifest root '{root}' needs a Hadoop filesystem, which "
+                "requires an active SparkSession")
+        self._jvm = spark._jvm
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, 4096, False)
+            return baos.toString("UTF-8")
+        finally:
+            stream.close()
+
+    def _write(self, path: str, text: str, overwrite: bool) -> None:
+        out = self._fs.create(self._p(path), overwrite)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def create_excl(self, path: str, text: str) -> None:
+        # FileSystem.create(overwrite=false) raises if the file exists
+        self._write(path, text, False)
+
+    def write_atomic(self, path: str, text: str) -> None:
+        parent, name = path.rsplit("/", 1)
+        tmp = f"{parent}/.tmp-{uuid.uuid4().hex}"
+        self._write(tmp, text, True)
+        p = self._p(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+        if not self._fs.rename(self._p(tmp), p):
+            raise OSError(f"rename {tmp} -> {path} failed")
+
+    def listdir(self, path: str) -> list[str]:
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._p(path))]
+
+
+def fs_for(root: str):
+    scheme = root.split("://", 1)[0] if "://" in root else ""
+    if scheme in ("", "file"):
+        return LocalFS()
+    return HadoopFS(root)

@@ -8,10 +8,16 @@ would replace). This is our analog of the reference's footer metadata
 a small trailer that tells readers exactly which byte containers make
 up the table.
 
+Manifest IO goes through a pluggable filesystem (tokencodec/spark/
+fsio.py): plain paths and file:// use the local OS, any other scheme
+(hdfs://, s3a://, ...) is served by Spark's Hadoop filesystem — the
+table root is scheme-transparent end to end (Spark jobs read/write the
+same URIs natively).
+
 Layout:
     {root}/data/run-{run_id}/...parquet     (written by Spark jobs)
     {root}/_manifest/snapshot-{N}.json      (immutable)
-    {root}/_manifest/CURRENT                (atomic pointer, os.replace)
+    {root}/_manifest/CURRENT                (atomic pointer swap)
 
 A snapshot records {group_key: [data paths]} plus lineage/metrics.
 Readers load ONLY paths listed in the current snapshot — files from
@@ -21,26 +27,27 @@ failed runs are invisible orphans (Iceberg semantics).
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 import uuid
 
+from tokencodec.spark.fsio import fs_for
+
 
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
         self.root = root
-        self.manifest_dir = os.path.join(root, "_manifest")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.fs = fs if fs is not None else fs_for(root)
+        self.manifest_dir = posixpath.join(root, "_manifest")
+        self.fs.mkdirs(self.manifest_dir)
 
     # -------------------------------------------------------------- reads
     def current_snapshot(self) -> dict | None:
-        cur = os.path.join(self.manifest_dir, "CURRENT")
-        if not os.path.exists(cur):
+        cur = posixpath.join(self.manifest_dir, "CURRENT")
+        if not self.fs.exists(cur):
             return None
-        with open(cur) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.manifest_dir, name)) as f:
-            return json.load(f)
+        name = self.fs.read_text(cur).strip()
+        return json.loads(self.fs.read_text(posixpath.join(self.manifest_dir, name)))
 
     def committed_groups(self) -> dict[str, list[str]]:
         snap = self.current_snapshot()
@@ -54,16 +61,16 @@ class SnapshotTable:
 
     def snapshots(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(self.manifest_dir)):
+        for name in sorted(self.fs.listdir(self.manifest_dir)):
             if name.startswith("snapshot-"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(json.load(f))
+                out.append(json.loads(
+                    self.fs.read_text(posixpath.join(self.manifest_dir, name))))
         return out
 
     # ------------------------------------------------------------- writes
     def new_run_dir(self) -> str:
         run_id = uuid.uuid4().hex[:12]
-        return os.path.join(self.root, "data", f"run-{run_id}")
+        return posixpath.join(self.root, "data", f"run-{run_id}")
 
     def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None) -> dict:
         """Append ``new_groups`` to the current snapshot atomically."""
@@ -83,15 +90,11 @@ class SnapshotTable:
             "metrics": metrics or {},
         }
         name = f"snapshot-{sid:06d}.json"
-        # optimistic concurrency: snapshot ids are claimed with O_EXCL,
-        # so two committers racing on the same parent fail loudly
-        # instead of silently overwriting (Iceberg's commit semantics)
-        fd = os.open(os.path.join(self.manifest_dir, name),
-                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f, indent=1)
-        tmp2 = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as f:
-            f.write(name)
-        os.replace(tmp2, os.path.join(self.manifest_dir, "CURRENT"))
+        # optimistic concurrency: snapshot ids are claimed create-
+        # exclusive, so two committers racing on the same parent fail
+        # loudly instead of silently overwriting (Iceberg's commit
+        # semantics)
+        self.fs.create_excl(posixpath.join(self.manifest_dir, name),
+                            json.dumps(snap, indent=1))
+        self.fs.write_atomic(posixpath.join(self.manifest_dir, "CURRENT"), name)
         return snap
