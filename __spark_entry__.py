@@ -183,9 +183,11 @@ FROM t GROUP BY 1 ORDER BY 1
 
 
 def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-list codec (the reference's Dremel surface, SURVEY ops
-    #11/#12/#17-19): round-trip nested int64 lists, report per-column
-    sizes + equality. Binary format -> rows-only check."""
+    """Nested codec (the reference's Dremel surface, SURVEY ops
+    #11/#12/#17-19, plus its object assembly Reader.hs:461-537):
+    round-trip nested int64 lists, structs, and struct<list<int64>>,
+    report per-column sizes + type/value equality. Binary format ->
+    rows-only check."""
     import pyarrow as pa
     from tokencodec import nested
     rows = [
@@ -194,12 +196,20 @@ def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ([[6], None, []], None),
         ([[]], [6]),
     ] * 50
-    pdf_f1 = pa.array([r[0] for r in rows], pa.list_(pa.list_(pa.int64())))
-    pdf_f2 = pa.array([r[1] for r in rows], pa.list_(pa.int64()))
+    st = pa.struct([("a", pa.list_(pa.int64())), ("b", pa.int64())])
+    fixtures = [
+        ("f1", pa.array([r[0] for r in rows], pa.list_(pa.list_(pa.int64())))),
+        ("f2", pa.array([r[1] for r in rows], pa.list_(pa.int64()))),
+        ("f3_struct", pa.array(
+            [{"a": r[1], "b": i} if r[0] is not None else None
+             for i, r in enumerate(rows)], st)),
+        ("f4_large", pa.array([r[1] for r in rows], pa.large_list(pa.int64()))),
+    ]
     out = []
-    for name, arr in [("f1", pdf_f1), ("f2", pdf_f2)]:
+    for name, arr in fixtures:
         page = nested.encode_nested_page(arr)
-        ok = nested.decode_nested_page(page).equals(arr)
+        dec = nested.decode_nested_page(page)
+        ok = dec.equals(arr) and dec.type == arr.type
         out.append((name, len(rows), len(page), bool(ok)))
     return spark.createDataFrame(out, "col string, n_rows bigint, enc_bytes bigint, roundtrip_ok boolean")
 

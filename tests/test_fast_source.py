@@ -38,3 +38,38 @@ def test_fast_source_roundtrip(spark, tmp_path):
     decoded = decode_job.decode(spark, root)
     assert decode_job.audit(spark.read.parquet(src), decoded) == {
         "missing": 0, "extra": 0, "ok": True}
+
+
+def test_read_and_pack_slices_oversized_row_groups(spark, tmp_path, monkeypatch):
+    """Row groups whose token bytes exceed the int32 blob-offset limit
+    must be sliced on row boundaries (not silently wrapped); a single
+    over-limit document must raise."""
+    import pyarrow as pa
+    import pytest as _pytest
+    from tokencodec.spark import encode_job
+
+    def _pack(src):
+        splits = encode_job.parquet_splits(src)
+        return list(encode_job._read_and_pack(iter([
+            pa.RecordBatch.from_arrays(
+                [pa.array([p for p, _ in splits]),
+                 pa.array([rg for _, rg in splits], pa.int32())],
+                names=["path", "rg"])])))
+
+    monkeypatch.setattr(encode_job, "_MAX_BLOB_BYTES", 4096)
+    df = synth.token_table(spark, 300, seed=4)
+
+    small = str(tmp_path / "small")
+    df.filter((F.col("n_tok") * 4) <= 4096).coalesce(1).write.mode("overwrite").parquet(small)
+    n_small = df.filter((F.col("n_tok") * 4) <= 4096).count()
+    batches = _pack(small)
+    assert len(batches) > 1  # sliced on row boundaries
+    for b in batches:
+        assert b.column(1).buffers()[2].size <= 4096
+    assert sum(b.num_rows for b in batches) == n_small
+
+    big = str(tmp_path / "big")
+    df.coalesce(1).write.mode("overwrite").parquet(big)
+    assert df.filter((F.col("n_tok") * 4) > 4096).count() > 0
+    with _pytest.raises(ValueError, match="binary transport limit"):
+        _pack(big)

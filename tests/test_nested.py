@@ -104,3 +104,51 @@ def test_nested_random_sweep():
 def test_nested_sliced_array():
     arr = pa.array([[1], [2, 3], None, [4, 5, 6], []], pa.list_(pa.int64()))
     _nested_roundtrip(arr.slice(1, 3))
+
+
+def test_struct_nodes_roundtrip():
+    """Struct assembly parity with the reference's object trees
+    (Reader.hs:461-537): struct<list, int64>, nulls at every level."""
+    typ = pa.struct([("a", pa.list_(pa.int64())), ("b", pa.int64())])
+    arr = pa.array([
+        {"a": [1, 2], "b": 7},
+        None,
+        {"a": None, "b": None},
+        {"a": [], "b": -3},
+        {"a": [None, 5], "b": 0},
+    ], typ)
+    _nested_roundtrip(arr)
+
+
+def test_struct_of_struct_roundtrip():
+    typ = pa.struct([("outer", pa.struct([("x", pa.int64())])),
+                     ("ys", pa.list_(pa.list_(pa.int64())))])
+    arr = pa.array([
+        {"outer": {"x": 1}, "ys": [[1], [], None]},
+        {"outer": None, "ys": None},
+        None,
+    ], typ)
+    _nested_roundtrip(arr)
+
+
+def test_list_of_struct_roundtrip():
+    typ = pa.list_(pa.struct([("k", pa.int64()), ("v", pa.list_(pa.int64()))]))
+    arr = pa.array([
+        [{"k": 1, "v": [1, 2]}, {"k": 2, "v": None}],
+        [],
+        None,
+        [None, {"k": 3, "v": []}],
+    ], typ)
+    _nested_roundtrip(arr)
+
+
+def test_large_list_type_preserved():
+    """A large_list input must round-trip to large_list (int64 offsets),
+    never silently narrow to list<int32 offsets>."""
+    arr = pa.array([[1, 2, 3], None, []], pa.large_list(pa.int64()))
+    out = nested.decode_nested_page(nested.encode_nested_page(arr))
+    assert out.type == pa.large_list(pa.int64())
+    assert out.equals(arr)
+    # mixed: large_list nested inside a regular list
+    inner = pa.array([[1], [2, 3], [], None], pa.large_list(pa.int64()))
+    _nested_roundtrip(inner)

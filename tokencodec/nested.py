@@ -1,27 +1,32 @@
-"""Nested-list column codec: arbitrary-depth list<...<int64>> with
-nulls at every level.
+"""Nested column codec: arbitrary trees of list / large_list / struct
+over int64 leaves, with nulls at every level.
 
 This is our columnar equivalent of the reference's Dremel machinery —
 where parquet-hs decodes repetition/definition levels and replays
-instruction sets to rebuild nested records
-(/root/reference/src/Parquet/Reader.hs:369-407,461-537,637-705 and
-Stream/Reader.hs:237-282), we store what Arrow stores natively: one
-validity bitmap + one offsets stream per nesting level, plus the leaf
-values — each encoded as an ordinary int page (offsets delta-encode to
-~0 bits; validity is RLE-friendly 0/1). Decode rebuilds the exact
-Arrow array bottom-up with `pa.Array.from_buffers`. The worked level
-tables in the reference (Reader.hs:43-131, INTERNAL.md:24-101) are
-covered by the golden round-trip test of its own `input1.json` fixture
-(tests/test_nested.py).
+instruction sets to rebuild nested records, including arbitrary object
+trees (/root/reference/src/Parquet/Reader.hs:369-407,461-537,637-705
+and Stream/Reader.hs:237-282), we store what Arrow stores natively: one
+validity bitmap (+ one lengths stream for lists) per node, plus the
+leaf values — each encoded as an ordinary int page (lengths
+delta-encode to ~0 bits; validity is RLE-friendly 0/1). Decode rebuilds
+the exact Arrow array bottom-up with `pa.Array.from_buffers`, bit- and
+type-identical: list vs large_list is recorded per node and rebuilt
+with int32 vs int64 offsets respectively, so a large_list input never
+silently round-trips to a narrower type. The worked level tables in the
+reference (Reader.hs:43-131, INTERNAL.md:24-101) are covered by the
+golden round-trip test of its own `input1.json` fixture
+(tests/test_nested.py); its object assembly (`IObjectField`,
+ParquetObject.hs:54-62) maps to the struct nodes here.
 
-Layout (envelope codec NESTED, kind INT64):
-    u8 depth
-    per level (outermost first):
-        u32 len | validity int page (0/1 per slot)
-        u32 len | lengths  int page (list length per slot; 0 for null)
-    leaf:
-        u32 len | validity int page
-        u32 len | values   int page (nulls stored as 0)
+Layout (envelope codec NESTED, kind INT64) — a recursive node tree:
+
+    node := kind u8
+        kind 0 (leaf int64):  sub(validity) sub(values)
+        kind 1 (list):        sub(validity) sub(lengths) node(child)
+        kind 2 (large_list):  sub(validity) sub(lengths) node(child)
+        kind 3 (struct):      sub(validity) u8 n_children
+                              { u16 name_len | name utf8 | node(child) }*
+    sub  := u32 len | int page
 """
 
 from __future__ import annotations
@@ -30,12 +35,13 @@ import struct
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from tokencodec import codecs, pageformat
 
 NESTED_CODEC = 10
 codecs.CODEC_NAMES.setdefault(NESTED_CODEC, "nested")
+
+_LEAF, _LIST, _LARGE_LIST, _STRUCT = 0, 1, 2, 3
 
 
 def _gather_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -48,31 +54,52 @@ def _sub(page: bytes) -> bytes:
     return struct.pack("<I", len(page)) + page
 
 
-def encode_nested_page(arr: pa.Array) -> bytes:
-    """Encode a (possibly chunked) list<...<int64>> array, nulls anywhere."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n_top = len(arr)
-    parts: list[bytes] = []
-    depth = 0
-    cur = arr
-    while pa.types.is_list(cur.type) or pa.types.is_large_list(cur.type):
-        valid = np.asarray(cur.is_valid())
-        offsets = np.asarray(cur.offsets, dtype=np.int64)
+def _enc_ints(values: np.ndarray, kind: int = pageformat.KIND_INT64) -> bytes:
+    return _sub(pageformat.encode_int_page(values, kind))
+
+
+def _encode_node(arr: pa.Array, parts: list[bytes]) -> None:
+    t = arr.type
+    valid = (np.asarray(arr.is_valid()) if len(arr)
+             else np.zeros(0, dtype=bool))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        parts.append(bytes([_LIST if pa.types.is_list(t) else _LARGE_LIST]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
         lengths = np.diff(offsets)
         lengths[~valid] = 0  # canonical: null list == empty slice
         starts = offsets[:-1]
         pos = _gather_positions(starts, lengths)
-        cur = cur.values.take(pa.array(pos)) if len(pos) else cur.values.slice(0, 0)
-        parts.append(_sub(pageformat.encode_int_page(valid.astype(np.int64), pageformat.KIND_INT32)))
-        parts.append(_sub(pageformat.encode_int_page(lengths, pageformat.KIND_INT64)))
-        depth += 1
-    leaf_valid = np.asarray(cur.is_valid()) if len(cur) else np.zeros(0, bool)
-    leaf_vals = np.asarray(cur.fill_null(0), dtype=np.int64) if len(cur) else np.zeros(0, np.int64)
-    parts.append(_sub(pageformat.encode_int_page(leaf_valid.astype(np.int64), pageformat.KIND_INT32)))
-    parts.append(_sub(pageformat.encode_int_page(leaf_vals, pageformat.KIND_INT64)))
-    payload = bytes([depth]) + b"".join(parts)
-    return pageformat._wrap(NESTED_CODEC, pageformat.KIND_INT64, 0, n_top,
+        child = arr.values.take(pa.array(pos)) if len(pos) else arr.values.slice(0, 0)
+        parts.append(_enc_ints(lengths))
+        _encode_node(child, parts)
+    elif pa.types.is_struct(t):
+        parts.append(bytes([_STRUCT]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        parts.append(bytes([t.num_fields]))
+        for i in range(t.num_fields):
+            name = t.field(i).name.encode("utf-8")
+            parts.append(struct.pack("<H", len(name)))
+            parts.append(name)
+            _encode_node(arr.field(i), parts)
+    elif pa.types.is_int64(t):
+        parts.append(bytes([_LEAF]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        vals = (np.asarray(arr.fill_null(0), dtype=np.int64) if len(arr)
+                else np.zeros(0, np.int64))
+        parts.append(_enc_ints(vals))
+    else:
+        raise ValueError(f"unsupported nested leaf/inner type: {t}")
+
+
+def encode_nested_page(arr: pa.Array) -> bytes:
+    """Encode a (possibly chunked) nested array, nulls anywhere."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parts: list[bytes] = []
+    _encode_node(arr, parts)
+    payload = b"".join(parts)
+    return pageformat._wrap(NESTED_CODEC, pageformat.KIND_INT64, 0, len(arr),
                             0, 0, payload)
 
 
@@ -82,33 +109,60 @@ def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
     return pa.py_buffer(np.packbits(valid.astype(np.uint8), bitorder="little"))
 
 
+def _decode_node(mv: memoryview, p: int) -> tuple[pa.Array, int]:
+    def take(pos: int) -> tuple[np.ndarray, int]:
+        (ln,) = struct.unpack_from("<I", mv, pos)
+        out = pageformat.decode_int_page(mv[pos + 4:pos + 4 + ln])
+        return np.asarray(out, dtype=np.int64), pos + 4 + ln
+
+    kind = mv[p]
+    p += 1
+    valid, p = take(p)
+    valid = valid.astype(bool)
+    if kind in (_LIST, _LARGE_LIST):
+        lengths, p = take(p)
+        child, p = _decode_node(mv, p)
+        if kind == _LARGE_LIST:
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            typ = pa.large_list(child.type)
+        else:
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            typ = pa.list_(child.type)
+        arr = pa.Array.from_buffers(
+            typ, len(lengths),
+            [_validity_buffer(valid), pa.py_buffer(offsets)],
+            children=[child])
+        return arr, p
+    if kind == _STRUCT:
+        n_children = mv[p]
+        p += 1
+        fields, children = [], []
+        for _ in range(n_children):
+            (nlen,) = struct.unpack_from("<H", mv, p)
+            name = bytes(mv[p + 2:p + 2 + nlen]).decode("utf-8")
+            p += 2 + nlen
+            child, p = _decode_node(mv, p)
+            fields.append(pa.field(name, child.type))
+            children.append(child)
+        arr = pa.Array.from_buffers(
+            pa.struct(fields), len(valid),
+            [_validity_buffer(valid)], children=children)
+        return arr, p
+    if kind == _LEAF:
+        vals, p = take(p)
+        arr = pa.Array.from_buffers(
+            pa.int64(), len(vals),
+            [_validity_buffer(valid), pa.py_buffer(vals)])
+        return arr, p
+    raise ValueError(f"unknown nested node kind {kind}")
+
+
 def decode_nested_page(buf: bytes | memoryview) -> pa.Array:
     h = pageformat.read_header(buf)
     if h["codec"] != NESTED_CODEC:
         raise ValueError("not a nested page")
     mv = memoryview(buf)[pageformat.HEADER_SIZE:pageformat.HEADER_SIZE + h["payload_len"]]
-    depth = mv[0]
-    p = 1
-
-    def take() -> np.ndarray:
-        nonlocal p
-        (ln,) = struct.unpack_from("<I", mv, p)
-        out = pageformat.decode_int_page(mv[p + 4:p + 4 + ln])
-        p += 4 + ln
-        return np.asarray(out, dtype=np.int64)
-
-    levels = [(take().astype(bool), take()) for _ in range(depth)]
-    leaf_valid = take().astype(bool)
-    leaf_vals = take()
-
-    arr = pa.Array.from_buffers(
-        pa.int64(), len(leaf_vals),
-        [_validity_buffer(leaf_valid), pa.py_buffer(leaf_vals)])
-    for valid, lengths in reversed(levels):
-        offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-        np.cumsum(lengths, out=offsets[1:])
-        arr = pa.Array.from_buffers(
-            pa.list_(arr.type), len(lengths),
-            [_validity_buffer(valid), pa.py_buffer(offsets)],
-            children=[arr])
+    arr, _ = _decode_node(mv, 0)
     return arr

@@ -337,6 +337,8 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
 
 PACKED_DDL = "doc_id string, tokens binary, n_tok int, source string"
 
+_MAX_BLOB_BYTES = (1 << 31) - 1  # pa.binary() has int32 offsets
+
 
 def parquet_splits(src_dir: str) -> list[tuple[str, int]]:
     import glob
@@ -353,6 +355,7 @@ def parquet_splits(src_dir: str) -> list[tuple[str, int]]:
 
 def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     import pyarrow.parquet as pq
+    max_blob = _MAX_BLOB_BYTES
     for batch in it:
         paths = batch.column(0).to_pylist()
         rgs = batch.column(1).to_pylist()
@@ -361,18 +364,32 @@ def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 rg, columns=["doc_id", "tokens", "n_tok", "source"])
             tokens = tbl.column("tokens").combine_chunks()
             t_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            t_val = tokens.values.to_numpy(zero_copy_only=False)
-            base = t_off[0]
-            blob_off = ((t_off - base) * 4).astype(np.int32)
-            blob_data = np.ascontiguousarray(t_val[base:t_off[-1]]).view(np.uint8)
-            blob = pa.Array.from_buffers(
-                pa.binary(), len(tokens),
-                [None, pa.py_buffer(blob_off), pa.py_buffer(blob_data)])
-            yield pa.RecordBatch.from_arrays(
-                [tbl.column("doc_id").combine_chunks(), blob,
-                 tbl.column("n_tok").combine_chunks(),
-                 tbl.column("source").combine_chunks()],
-                names=["doc_id", "tokens", "n_tok", "source"])
+            rel = (t_off - t_off[0]) * 4
+            # a pyarrow-written row group can exceed 2^31 token bytes;
+            # slice on row boundaries so int32 blob offsets never wrap
+            lo = 0
+            n = len(tokens)
+            while lo < n:
+                hi = int(np.searchsorted(rel, rel[lo] + max_blob, side="right")) - 1
+                if hi <= lo:
+                    raise ValueError(
+                        f"single document with {int(rel[lo + 1] - rel[lo]) // 4} "
+                        "tokens exceeds the 2^31-byte binary transport limit")
+                hi = min(hi, n)
+                t_val = tokens.values.to_numpy(zero_copy_only=False)
+                base = t_off[lo]
+                blob_off = ((t_off[lo:hi + 1] - base) * 4).astype(np.int32)
+                blob_data = np.ascontiguousarray(
+                    t_val[base:t_off[hi]]).view(np.uint8)
+                blob = pa.Array.from_buffers(
+                    pa.binary(), hi - lo,
+                    [None, pa.py_buffer(blob_off), pa.py_buffer(blob_data)])
+                yield pa.RecordBatch.from_arrays(
+                    [tbl.column("doc_id").combine_chunks().slice(lo, hi - lo), blob,
+                     tbl.column("n_tok").combine_chunks().slice(lo, hi - lo),
+                     tbl.column("source").combine_chunks().slice(lo, hi - lo)],
+                    names=["doc_id", "tokens", "n_tok", "source"])
+                lo = hi
 
 
 def pack_source(spark: SparkSession, src_dir: str) -> DataFrame:

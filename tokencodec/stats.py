@@ -57,8 +57,11 @@ def int_stats(values: np.ndarray) -> IntStats:
         run_coverage = 0
 
     d = np.diff(v)
-    zz_max = int(max(d.max(), -d.min()))
-    zz_delta_bits = (2 * zz_max).bit_length() if zz_max else 1
+    # width of the actual zigzag stream, computed in uint64 space — a
+    # diff equal to INT64_MIN would overflow (and warn) under negation
+    from tokencodec.codecs.delta import zigzag
+    zz_max = int(zigzag(d).max())
+    zz_delta_bits = zz_max.bit_length() if zz_max else 1
 
     if n <= _SAMPLE:
         sample = v
