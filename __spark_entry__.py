@@ -51,7 +51,7 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
     """Encode a deterministic synth token table sized off the sf dir."""
     from tokencodec.spark import encode_job, synth
     n_rows = _t(spark, sf_dir, "documents").count() * 4
-    root = f"/tmp/tokencodec_entry/v2_n{n_rows}_s{SEED}"
+    root = f"/tmp/tokencodec_entry/v3_n{n_rows}_s{SEED}"
     key = root
     if key not in _ENGINE_CACHE:
         from tokencodec.spark.table import SnapshotTable
@@ -274,6 +274,25 @@ def q_schema_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         for path, typ in walk(_t(spark, sf_dir, tbl).schema.fields):
             rows.append((tbl, path, typ))
     return spark.createDataFrame(rows, "tbl string, path string, dtype string").orderBy("tbl", "path")
+
+
+# catalog introspection oracle: DuckDB's DESCRIBE over the same views,
+# its type names normalized to Spark's simpleString vocabulary
+SQL_SCHEMA_FLATTEN = """
+WITH d AS (
+  SELECT 'lineitem' AS tbl, column_name AS path, column_type AS t FROM (DESCRIBE lineitem)
+  UNION ALL
+  SELECT 'documents', column_name, column_type FROM (DESCRIBE documents)
+  UNION ALL
+  SELECT 'embeddings', column_name, column_type FROM (DESCRIBE embeddings))
+SELECT tbl, path,
+       CASE t WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+              WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+              WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT' THEN 'float'
+              WHEN 'FLOAT[]' THEN 'array<float>' WHEN 'BIGINT[]' THEN 'array<bigint>'
+              ELSE lower(t) END AS dtype
+FROM d ORDER BY tbl, path
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1011,23 +1030,59 @@ ORDER BY id_a, id_b
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: per-label centroids (the 'inverted
     lists'), assign each vector to its nearest centroid, report the
-    assignment matrix. Float sums over groups are partition-order
-    dependent in Spark, so this is a rows-only check."""
-    import numpy as np
-    import pandas as pd
+    assignment matrix.
 
+    Deterministic + oracle-checkable: embeddings are quantized to
+    integers (floor(x * 1e4)), centroid sums are exact bigint sums
+    (order-independent, unlike float aggregation), and the squared
+    distance to the mean is compared via the integer identity
+    sum((q*cnt - sumq)^2) / cnt^2 — the per-dim terms stay < 2^53, so
+    the double division is bit-reproducible across engines. The arg-min
+    is a groupBy min over a (d2, clabel) struct: no window at all."""
     e = _t(spark, sf_dir, "embeddings")
-    cent = e.groupBy("label").agg(
-        F.array(*[F.avg(F.col("embedding")[i]) for i in range(64)]).alias("centroid"))
-    j = e.crossJoin(F.broadcast(cent.withColumnRenamed("label", "clabel")))
-    dist = F.aggregate(F.zip_with("embedding", "centroid",
-                                  lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                       F.lit(0.0), lambda acc, x: acc + x)
-    scored = j.select("vec_id", "label", "clabel", dist.alias("d2"))
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (best.groupBy("label", F.col("clabel").alias("assigned"))
+    q = F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
+    eq = e.select("vec_id", "label", q.alias("q"))
+    cent = eq.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.array(*[F.sum(F.col("q")[i]) for i in range(64)]).alias("sq"))
+    j = eq.crossJoin(F.broadcast(
+        cent.withColumnRenamed("label", "clabel")))
+    num = F.aggregate(
+        F.zip_with("q", "sq",
+                   lambda a, b: (a * F.col("cnt") - b) * (a * F.col("cnt") - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    d2 = num.cast("double") / (F.col("cnt") * F.col("cnt")).cast("double")
+    scored = j.select("vec_id", "label",
+                      F.struct(d2.alias("d2"), F.col("clabel")).alias("cand"))
+    best = (scored.groupBy("vec_id", "label")
+            .agg(F.min("cand").alias("best")))
+    return (best.groupBy("label", F.col("best.clabel").alias("assigned"))
             .agg(F.count("*").alias("n")).orderBy("label", "assigned"))
+
+
+SQL_IVF_ASSIGN = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings),
+cent AS (
+  SELECT label AS clabel, count(*) AS cnt,
+         list_value(""" + ", ".join(f"sum(q[{i + 1}])" for i in range(64)) + """) AS sq
+  FROM q GROUP BY label),
+scored AS (
+  SELECT vec_id, label, clabel,
+         CAST(list_sum(list_transform(q, (x, i) -> (x * cnt - sq[i]) * (x * cnt - sq[i])))
+              AS DOUBLE) / CAST(cnt * cnt AS DOUBLE) AS d2
+  FROM q, cent),
+best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM scored)
+SELECT label, clabel AS assigned, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1170,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_lineage": SQL_ENGINE_LINEAGE,
         "engine_stream_encode": SQL_ENGINE_DECODE_ROWS,
         "engine_fsck": SQL_ENGINE_FSCK,
+        "schema_flatten": SQL_SCHEMA_FLATTEN,
         "json_sink_roundtrip": SQL_JSON_SINK_ROUNDTRIP,
         "dict_encode_source": SQL_DICT_ENCODE_SOURCE,
         "rle_runs_returnflag": SQL_RLE_RUNS_RETURNFLAG,
@@ -1194,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": SQL_KNN_COSINE,
         "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+        "ivf_assign": SQL_IVF_ASSIGN,
         "mm_decode_meta": SQL_MM_DECODE_META,
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,

@@ -37,3 +37,39 @@ def test_encode_pipeline_single_shuffle(spark):
     plan = _formatted(enc, spark)
     import re
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_knn_topk_plan_has_no_global_window(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap + driver
+    merge), with any Window only above the 10-row limit."""
+    import __spark_entry__ as entrymod
+    df = entrymod.q_knn_cosine(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df, spark)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_rle_runs_plan_is_distributed(spark):
+    """Run detection must happen inside mapInArrow per range partition;
+    the only Sort feeding a Window operates on the boundary-run
+    metadata, never on the raw lineitem rows."""
+    import re
+    import __spark_entry__ as entrymod
+    df = entrymod.q_rle_runs_returnflag(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df, spark)
+    assert re.search(r"(MapInArrow|ArrowEvalPython|PythonMapInArrow)", plan), plan[:3000]
+    # the full-table columns never reach a Window operator
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "Arguments" not in ln]
+    assert win_lines, "expected the tiny boundary-merge Window"
+    assert "l_orderkey" not in " ".join(
+        ln for ln in plan.splitlines() if "Window" in ln), "raw keys inside Window"
+
+
+def test_decode_packed_plan_prunes_columns(spark, tmp_path):
+    root = str(tmp_path / "enc")
+    df = synth.token_table(spark, 200, seed=5)
+    encode_job.encode(spark, df, root, commit_groups=1)
+    plan = _formatted(decode_job.decode(spark, root, packed=True), spark)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "page_tokens" in read_schema
+    for unused in ("chunk_uid", "doc_id_min", "enc_bytes"):
+        assert unused not in read_schema, read_schema

@@ -17,7 +17,8 @@ from tokencodec.codecs import rle
 
 def zigzag(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.int64, copy=False)
-    return ((x << 1) ^ (x >> 63)).astype(np.uint64)
+    # xor result is a fresh int64 array; reinterpret in place (no copy)
+    return ((x << 1) ^ (x >> 63)).view(np.uint64)
 
 
 def unzigzag(u: np.ndarray) -> np.ndarray:
