@@ -29,10 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("out")
     dec.add_argument("--doc-id-min")
     dec.add_argument("--doc-id-max")
+    dec.add_argument("--packed", action="store_true",
+                     help="tokens as LE-int32 binary blobs (fast transport)")
 
     aud = sub.add_parser("audit", help="bit-identical round-trip check vs a source table")
     aud.add_argument("src")
     aud.add_argument("root")
+    aud.add_argument("--packed", action="store_true",
+                     help="compare LE-int32 blobs (pyarrow fast source both sides)")
 
     fs = sub.add_parser("fsck", help="verify CRCs + counts of every committed chunk")
     fs.add_argument("root")
@@ -68,13 +72,17 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from tokencodec.spark import decode_job
             df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,
-                                   doc_id_max=args.doc_id_max)
+                                   doc_id_max=args.doc_id_max, packed=args.packed)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":
-            from tokencodec.spark import decode_job
-            res = decode_job.audit(spark.read.parquet(args.src),
-                                   decode_job.decode(spark, args.root))
+            from tokencodec.spark import decode_job, encode_job
+            if args.packed:
+                original = encode_job.pack_source(spark, args.src)
+            else:
+                original = spark.read.parquet(args.src)
+            res = decode_job.audit(
+                original, decode_job.decode(spark, args.root, packed=args.packed))
             print(json.dumps(res))
             return 0 if res["ok"] else 1
         elif args.cmd == "fsck":
