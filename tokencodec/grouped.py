@@ -84,8 +84,10 @@ def _doc_stats(values: np.ndarray, offsets: np.ndarray):
     return lens, dmin, dmax, changes, nondecr, np.maximum(card, 1), take
 
 
-def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """-> int64[n_docs] group key encoded as cls*64 + param."""
+def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """-> (int64[n_docs] group key encoded as cls*64 + param,
+    global vmin, global vmax) — the min/max ride along so the caller
+    never needs another full-column pass for size bounds."""
     lens, dmin, dmax, changes, nondecr, card, take = _doc_stats(values, offsets)
     range_bits = np.zeros(len(lens), dtype=np.int64)
     rng = dmax - dmin
@@ -100,7 +102,10 @@ def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     keys[lc] = _CLS_LOWCARD[0] * 64 + range_bits[lc]
     keys[nondecr & (lens >= 16) & (changes > 0)] = _CLS_DELTA[0] * 64
     keys[(changes * 3 < np.maximum(lens - 1, 1)) | (changes == 0)] = _CLS_RUNS[0] * 64
-    return keys
+    nz = lens > 0
+    vmin = int(dmin[nz].min()) if nz.any() else 0
+    vmax = int(dmax[nz].max()) if nz.any() else 0
+    return keys, vmin, vmax
 
 
 def _gather_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -150,7 +155,7 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
     if n_docs < MIN_DOCS_FOR_GROUPING:
         return pageformat.encode_int_page(values, pageformat.KIND_INT32)
     offsets = np.concatenate(([0], np.cumsum(doc_lengths.astype(np.int64))))
-    keys = _doc_classes(values, offsets)
+    keys, vmin, vmax = _doc_classes(values, offsets)
     uniq = np.unique(keys)
     if len(uniq) == 1 and uniq[0] != _CLS_DELTA[0] * 64:
         return pageformat.encode_int_page(values, pageformat.KIND_INT32)
@@ -177,6 +182,14 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
         parts.append(struct.pack("<I", len(sub)))
         parts.append(sub)
     payload = b"".join(parts)
+    # cheap single-page lower bound first (bitpack of the global range,
+    # min/max already known from _doc_classes): the full stats-model
+    # estimate — another O(n) pass — runs only when grouping isn't an
+    # obvious win
+    bits = max(int(vmax - vmin).bit_length(), 1)
+    bitpack_bound = pageformat.HEADER_SIZE + (len(values) * bits + 7) // 8
+    if len(payload) + pageformat.HEADER_SIZE < 0.9 * bitpack_bound:
+        return pageformat.wrap_grouped(payload, len(values))
     single_est = pageformat.HEADER_SIZE + _single_page_estimate(values)
     if len(payload) + pageformat.HEADER_SIZE >= single_est:
         return pageformat.encode_int_page(values, pageformat.KIND_INT32)
