@@ -54,3 +54,42 @@ def test_string_page_roundtrip(blobs, force_fsst):
     oo, dd = pageformat.decode_string_page(page)
     np.testing.assert_array_equal(oo, offsets)
     assert dd == data
+
+
+# ---------------------------------------------------------------- nested trees
+
+def _nested_values(depth):
+    """Strategy for values of a nested type of the given shape."""
+    import hypothesis.strategies as st
+    leaf = st.one_of(st.none(), st.integers(-2**62, 2**62))
+    v = leaf
+    for kind in depth:
+        if kind == "list":
+            v = st.one_of(st.none(), st.lists(v, max_size=4))
+        else:  # struct with two fields
+            v = st.one_of(st.none(), st.fixed_dictionaries({"a": v, "b": leaf}))
+    return st.lists(v, max_size=8)
+
+
+def _nested_type(depth):
+    import pyarrow as pa
+    t = pa.int64()
+    for kind in depth:
+        t = pa.list_(t) if kind == "list" else pa.struct([("a", t), ("b", pa.int64())])
+    return t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    shape=st.lists(st.sampled_from(["list", "struct"]), min_size=0, max_size=3),
+    data=st.data())
+def test_nested_tree_roundtrip(shape, data):
+    """Random list/struct trees over int64 leaves round-trip bit- and
+    type-identical through the nested codec."""
+    import pyarrow as pa
+    from tokencodec import nested
+    values = data.draw(_nested_values(shape))
+    arr = pa.array(values, _nested_type(shape))
+    out = nested.decode_nested_page(nested.encode_nested_page(arr))
+    assert out.type == arr.type
+    assert out.equals(arr), f"\nin : {arr}\nout: {out}"

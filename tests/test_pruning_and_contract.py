@@ -43,3 +43,16 @@ def test_null_input_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="null values in column 'source'"):
         encode_job.encode(spark, df, str(tmp_path / "x"), commit_groups=1,
                           n_salts=2)
+
+
+def test_doc_range_pruning_packed(spark, enc_root):
+    """Pruned + packed decode: row-level doc-id filters and blob output
+    compose; blob lengths match the n_tok contract."""
+    df, root = enc_root
+    lo, hi = "doc-000000000100", "doc-000000000299"
+    out = decode_job.decode(spark, root, doc_id_min=lo, doc_id_max=hi, packed=True)
+    n_expected = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).count()
+    rows = out.select("doc_id",
+                      (F.length("tokens") == F.col("n_tok") * 4).alias("len_ok"))
+    got = rows.agg(F.count("*").alias("n"), F.min("len_ok").alias("ok")).collect()[0]
+    assert got.n == n_expected and got.ok is True
