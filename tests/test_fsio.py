@@ -54,3 +54,18 @@ def test_snapshot_table_on_hadoopfs(spark, tmp_path):
     assert len(tbl2.snapshots()) == 2
     with pytest.raises(ValueError, match="already committed"):
         tbl2.commit({"g0": ["x"]})
+
+
+def test_commit_race_fails_loudly(tmp_path):
+    """Two committers racing on the same parent snapshot: the second
+    claim of the same snapshot id must fail (create-exclusive), never
+    silently overwrite (Iceberg optimistic concurrency)."""
+    root = str(tmp_path / "race")
+    tbl = SnapshotTable(root)
+    tbl.commit({"g0": ["a"]})
+    # simulate a racing committer that already claimed snapshot 1
+    tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "{}")
+    with pytest.raises(FileExistsError):
+        tbl.commit({"g1": ["b"]})
+    # CURRENT still points at the last good snapshot
+    assert tbl.current_snapshot()["snapshot_id"] == 0
