@@ -757,6 +757,75 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.9, max_iter: int = 20) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs with exact Jaccard >=
+    threshold become edges; connected components assign every doc to the
+    min-doc_id of its component (the canonical "keeper"). Components are
+    computed with iterative min-label propagation — each round is one
+    join + one aggregate (all key-partitioned shuffles, no global
+    ordering), converging in O(component diameter) rounds with an
+    early-exit when a round changes nothing; `localCheckpoint` truncates
+    the growing lineage. At 100 TB scale the same loop applies after
+    large-star/small-star edge contraction; the driver-visible result is
+    the cluster size histogram + keeper ids."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+             .localCheckpoint(eager=True))
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges.a == labels.doc_id)
+                .select(F.col("b").alias("doc_id"), "label"))
+        new = (labels.unionByName(msgs)
+               .groupBy("doc_id").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        n_changed = (new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                     .filter(F.col("label") != F.col("old")).count())
+        labels = new
+        if n_changed == 0:
+            break
+    return (labels.groupBy(F.col("label").alias("cluster"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("cluster"))
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+               min(md5('0' || w)) AS mh0, min(md5('1' || w)) AS mh1,
+               min(md5('2' || w)) AS mh2, min(md5('3' || w)) AS mh3
+        FROM words GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 'b0:' || mh0 || '|' || mh1 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, 'b1:' || mh2 || '|' || mh3 AS band FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c JOIN words wa ON wa.doc_id = c.id_a
+                      JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+          GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE round(COALESCE(i.inter, 0)::DOUBLE
+              / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) >= 0.9),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+  WHERE cc.label < e.b),
+comp AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+SELECT cluster, count(*) AS n_docs FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
 SQL_DEDUP_MINHASH_LSH = """
 WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 sig AS (SELECT doc_id,
@@ -1203,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
@@ -1241,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "text_lang_id": SQL_TEXT_LANG_ID,

@@ -41,3 +41,22 @@ def test_cap_keeps_small_buckets(spark, tmp_path):
     rows = pairs.collect()
     assert len(rows) == 4 * 3 // 2
     assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_dedup_clusters_known_components(spark, tmp_path):
+    """Two duplicate groups + singletons -> exact expected components."""
+    a = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon").alias("text"))
+    b = spark.range(10, 12).select(
+        F.col("id").alias("doc_id"),
+        F.lit("zeta eta theta iota kappa").alias("text"))
+    i = F.col("id").cast("string")
+    single = spark.range(20, 22).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), i, F.lit("a s"), i, F.lit("b s"), i, F.lit("c")).alias("text"))
+    d = str(tmp_path)
+    a.unionByName(b).unionByName(single).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    rows = {r.cluster: r.n_docs for r in entrymod.q_dedup_clusters(spark, d).collect()}
+    assert rows == {0: 3, 10: 2, 20: 1, 21: 1}
