@@ -104,3 +104,25 @@ def test_chunk_uids_table_unique(spark, enc_root):
     pages = encode_job.read_pages(spark, enc_root)
     n = pages.count()
     assert pages.select("chunk_uid").distinct().count() == n
+
+
+def test_decode_legacy_pages_without_split_columns(spark, tmp_path):
+    """Tables written before doc splitting / split_uid existed decode
+    through the back-compat branches (doc_part/doc_parts/split_uid
+    synthesized)."""
+    root = str(tmp_path / "legacy")
+    df = synth.token_table(spark, 120, seed=17)
+    encode_job.encode(spark, df, root, commit_groups=1)
+    # rewrite the committed run without the modern columns
+    tbl = SnapshotTable(root)
+    paths = tbl.data_paths()
+    legacy = (spark.read.parquet(*paths)
+              .drop("doc_part", "doc_parts", "split_uid"))
+    legacy_dir = str(tmp_path / "legacy_run")
+    legacy.write.mode("overwrite").parquet(legacy_dir)
+    tbl2 = SnapshotTable(str(tmp_path / "legacy2"))
+    tbl2.commit({"g0": [legacy_dir]})
+    out = decode_job.decode(spark, str(tmp_path / "legacy2"))
+    assert decode_job.audit(df, out) == {"missing": 0, "extra": 0, "ok": True}
+    packed = decode_job.decode(spark, str(tmp_path / "legacy2"), packed=True)
+    assert packed.count() == 120

@@ -28,3 +28,24 @@ def test_stream_encode_incremental(spark, tmp_path):
     decoded = decode_job.decode(spark, root)
     full = df1.unionByName(df2)
     assert decode_job.audit(full, decoded) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence wins within a
+    batch AND across restarts (state persisted in the checkpoint)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    base = synth.token_table(spark, 50, seed=3)
+    dup = base.limit(10)
+    base.unionAll(dup).write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out)
+    first = spark.read.parquet(out)
+    assert first.count() == 50
+    assert first.select("doc_id").distinct().count() == 50
+
+    # second drop: 40 already-seen docs + 30 new ones
+    synth.token_table(spark, 80, seed=3).write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out)
+    final = spark.read.parquet(out)
+    assert final.count() == 80
+    assert final.select("doc_id").distinct().count() == 80

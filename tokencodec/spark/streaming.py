@@ -53,3 +53,41 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
               .trigger(availableNow=True)
               .start())
     stream.awaitTermination()
+
+
+def dedup_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                 checkpoint_dir: str | None = None) -> None:
+    """Stateful cross-batch exact dedup: emit only the FIRST occurrence
+    of each doc_id ever seen by the stream, remembering seen keys in
+    per-group state (`applyInPandasWithState`) that survives restarts
+    via the checkpoint — the custom-stateful-operator pattern for
+    incremental training-data ingestion (a doc re-appearing in a later
+    crawl drop is suppressed without re-reading history). State is
+    partitioned by doc_id, so it shards across executors; no timeout —
+    dedup state is permanent by design (bound it with a TTL timeout if
+    the key space is unbounded in deployment)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(out_dir, "_dedup_checkpoint")
+
+    def first_only(key, pdfs, state):
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf):
+                    state.update((True,))
+                    yield pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
+                                        "n_tok": [pdf["n_tok"].iloc[0]],
+                                        "source": [pdf["source"].iloc[0]]})
+                    break
+
+    src = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
+           .select("doc_id", "n_tok", "source"))
+    out = src.groupBy("doc_id").applyInPandasWithState(
+        first_only, "doc_id string, n_tok int, source string",
+        "seen boolean", "append", GroupStateTimeout.NoTimeout)
+    q = (out.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
