@@ -54,10 +54,11 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
     root = f"/tmp/tokencodec_entry/v3_n{n_rows}_s{SEED}"
     key = root
     if key not in _ENGINE_CACHE:
-        from tokencodec.spark.table import SnapshotTable
-        if SnapshotTable(root).current_snapshot() is None:
-            df = synth.token_table(spark, n_rows, seed=SEED)
-            encode_job.encode(spark, df, root, commit_groups=2)
+        # encode() unconditionally: a complete table is a manifest-only
+        # no-op, a partially committed one (earlier crashed run) RESUMES
+        # instead of being served half-decoded forever
+        df = synth.token_table(spark, n_rows, seed=SEED)
+        encode_job.encode(spark, df, root, commit_groups=2)
         _ENGINE_CACHE[key] = root
     return root
 
@@ -124,9 +125,9 @@ def _docs_root(spark: SparkSession, sf_dir: str) -> str:
     n = _t(spark, sf_dir, "documents").count()
     root = f"/tmp/tokencodec_entry/docs_v1_n{n}"
     if root not in _ENGINE_CACHE:
-        if SnapshotTable(root).current_snapshot() is None:
-            encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
-                              commit_groups=2, max_chunk_tokens=64)
+        # unconditional: no-op when complete, resume when partial
+        encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                          commit_groups=2, max_chunk_tokens=64)
         _ENGINE_CACHE[root] = root
     return root
 
@@ -226,7 +227,9 @@ def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, root = f"{base}/src", f"{base}/enc"
     if SnapshotTable(root).current_snapshot() is None:
         _docs_token_df(spark, sf_dir).write.mode("overwrite").parquet(src)
-        streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 12)
+    # unconditional: the stream checkpoint makes a caught-up run a
+    # no-op, and a partially committed run (earlier crash) catches up
+    streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 12)
     out = decode_job.decode(spark, root)
     return (out.select(
         "doc_id", F.col("n_tok").cast("bigint").alias("n_tok"), "source",
@@ -786,6 +789,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str,
         labels = new
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing) — component diameter "
+            "exceeds max_iter; raise it or contract edges first")
     return (labels.groupBy(F.col("label").alias("cluster"))
             .agg(F.count("*").alias("n_docs"))
             .orderBy("cluster"))
@@ -1103,11 +1111,12 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic + oracle-checkable: embeddings are quantized to
     integers (floor(x * 1e4)), centroid sums are exact bigint sums
-    (order-independent, unlike float aggregation), and the squared
-    distance to the mean is compared via the integer identity
-    sum((q*cnt - sumq)^2) / cnt^2 — the per-dim terms stay < 2^53, so
-    the double division is bit-reproducible across engines. The arg-min
-    is a groupBy min over a (d2, clabel) struct: no window at all."""
+    (order-independent, unlike float aggregation), and each centroid is
+    the FLOORED integer mean — so the squared distance
+    sum((q - floor(sumq/cnt))^2) stays in small-integer space (< 2^40
+    for unit-scale embeddings) at ANY cluster size: no int64 wraparound
+    and no engine-divergent overflow promotion. The arg-min is a
+    groupBy min over a (d2, clabel) struct: no window at all."""
     e = _t(spark, sf_dir, "embeddings")
     q = F.transform("embedding",
                     lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
@@ -1115,13 +1124,13 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = eq.groupBy("label").agg(
         F.count("*").alias("cnt"),
         F.array(*[F.sum(F.col("q")[i]) for i in range(64)]).alias("sq"))
+    cq = F.transform("sq", lambda x: F.floor(x.cast("double") / F.col("cnt"))
+                     .cast("bigint"))
     j = eq.crossJoin(F.broadcast(
-        cent.withColumnRenamed("label", "clabel")))
-    num = F.aggregate(
-        F.zip_with("q", "sq",
-                   lambda a, b: (a * F.col("cnt") - b) * (a * F.col("cnt") - b)),
+        cent.select(F.col("label").alias("clabel"), cq.alias("cq"))))
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    d2 = num.cast("double") / (F.col("cnt") * F.col("cnt")).cast("double")
     scored = j.select("vec_id", "label",
                       F.struct(d2.alias("d2"), F.col("clabel")).alias("cand"))
     best = (scored.groupBy("vec_id", "label")
@@ -1140,11 +1149,15 @@ cent AS (
   SELECT label AS clabel, count(*) AS cnt,
          list_value(""" + ", ".join(f"sum(q[{i + 1}])" for i in range(64)) + """) AS sq
   FROM q GROUP BY label),
+cq AS (
+  SELECT clabel,
+         list_transform(sq, x -> CAST(floor(CAST(x AS DOUBLE) / cnt) AS BIGINT)) AS cq
+  FROM cent),
 scored AS (
   SELECT vec_id, label, clabel,
-         CAST(list_sum(list_transform(q, (x, i) -> (x * cnt - sq[i]) * (x * cnt - sq[i])))
-              AS DOUBLE) / CAST(cnt * cnt AS DOUBLE) AS d2
-  FROM q, cent),
+         CAST(list_sum(list_transform(q, (x, i) -> (x - cq[i]) * (x - cq[i])))
+              AS BIGINT) AS d2
+  FROM q, cq),
 best AS (
   SELECT vec_id, label, clabel,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
@@ -1326,9 +1339,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         # remaining rows-only entries: engine_encode_metrics (encoded
-        # byte sizes are engine-internal), engine_roundtrip_audit +
-        # engine_nested_roundtrip (binary page payloads), schema_flatten
-        # (catalog introspection), ivf_assign (float-sum order
-        # nondeterminism). The engine's decode/lineage/fsck/stream paths
-        # are oracle-verified via the documents-derived token table.
+        # byte sizes are engine-internal) and engine_roundtrip_audit +
+        # engine_nested_roundtrip (binary page payloads). Everything
+        # else — including the engine's decode/lineage/fsck/stream
+        # paths (via the documents-derived token table), ivf_assign
+        # (integer-quantized centroids) and schema_flatten (DESCRIBE
+        # mapping) — is oracle-verified.
     }

@@ -32,7 +32,7 @@ def test_hadoopfs_roundtrip(spark, tmp_path):
     assert fs.exists(f"{root}/d")
     fs.create_excl(f"{root}/d/one.json", '{"x": 1}')
     assert fs.read_text(f"{root}/d/one.json") == '{"x": 1}'
-    with pytest.raises(Exception):
+    with pytest.raises(FileExistsError):
         fs.create_excl(f"{root}/d/one.json", "dup")
     fs.write_atomic(f"{root}/d/CURRENT", "one.json")
     fs.write_atomic(f"{root}/d/CURRENT", "two.json")

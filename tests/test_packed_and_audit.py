@@ -108,21 +108,31 @@ def test_chunk_uids_table_unique(spark, enc_root):
 
 def test_decode_legacy_pages_without_split_columns(spark, tmp_path):
     """Tables written before doc splitting / split_uid existed decode
-    through the back-compat branches (doc_part/doc_parts/split_uid
-    synthesized)."""
+    through the back-compat branches — including MIXED tables where a
+    legacy run (with split docs) and a modern run coexist: legacy split
+    parts must regroup per doc_id, never merge across docs via the NULL
+    split_uid."""
     root = str(tmp_path / "legacy")
-    df = synth.token_table(spark, 120, seed=17)
-    encode_job.encode(spark, df, root, commit_groups=1)
-    # rewrite the committed run without the modern columns
+    df_old = synth.token_table(spark, 120, seed=17)
+    # splits in the legacy data: budget below the median doc length
+    encode_job.encode(spark, df_old, root, commit_groups=1, max_chunk_tokens=1 << 9)
     tbl = SnapshotTable(root)
-    paths = tbl.data_paths()
-    legacy = (spark.read.parquet(*paths)
-              .drop("doc_part", "doc_parts", "split_uid"))
+    legacy = (spark.read.parquet(*tbl.data_paths())
+              .drop("split_uid"))
+    assert legacy.filter(F.col("doc_parts") > 1).count() > 1
     legacy_dir = str(tmp_path / "legacy_run")
     legacy.write.mode("overwrite").parquet(legacy_dir)
-    tbl2 = SnapshotTable(str(tmp_path / "legacy2"))
-    tbl2.commit({"g0": [legacy_dir]})
-    out = decode_job.decode(spark, str(tmp_path / "legacy2"))
-    assert decode_job.audit(df, out) == {"missing": 0, "extra": 0, "ok": True}
-    packed = decode_job.decode(spark, str(tmp_path / "legacy2"), packed=True)
-    assert packed.count() == 120
+
+    mixed_root = str(tmp_path / "mixed")
+    tbl2 = SnapshotTable(mixed_root)
+    tbl2.commit({"legacy": [legacy_dir]})
+    # modern run appended into the same table (doc ids disjoint)
+    df_new = (synth.token_table(spark, 60, seed=17)
+              .withColumn("doc_id", F.concat(F.lit("new-"), F.col("doc_id"))))
+    encode_job.encode(spark, df_new, mixed_root, commit_groups=1,
+                      max_chunk_tokens=1 << 9)
+    out = decode_job.decode(spark, mixed_root)
+    expected = df_old.unionByName(df_new)
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+    packed = decode_job.decode(spark, mixed_root, packed=True)
+    assert packed.count() == 180

@@ -103,3 +103,34 @@ def test_snapshot_table_file_uri_root(spark, tmp_path):
     assert SnapshotTable(root).current_snapshot()["snapshot_id"] == 1
     decoded = decode_job.decode(spark, root)
     assert decode_job.audit(df, decoded) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_resume_with_mismatched_scheme_fails_fast(spark, tmp_path, monkeypatch):
+    """Resuming a partially committed table under a different grouping
+    scheme (n_salts / commit_groups) would silently drop and duplicate
+    documents — it must raise instead."""
+    df = synth.token_table(spark, 200, seed=7)
+    root = str(tmp_path / "mismatch")
+
+    real_commit = SnapshotTable.commit
+    calls = {"n": 0}
+
+    def dying_commit(self, groups, metrics=None):
+        out = real_commit(self, groups, metrics)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected")
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        encode_job.encode(spark, df, root, commit_groups=2, n_salts=8)
+    monkeypatch.setattr(SnapshotTable, "commit", real_commit)
+
+    with pytest.raises(ValueError, match="cannot resume"):
+        encode_job.encode(spark, df, root, commit_groups=2, n_salts=16)
+    with pytest.raises(ValueError, match="cannot resume"):
+        encode_job.encode(spark, df, root, commit_groups=4, n_salts=8)
+    # matching scheme resumes fine
+    encode_job.encode(spark, df, root, commit_groups=2, n_salts=8)
+    assert len(SnapshotTable(root).committed_groups()) == 2

@@ -32,11 +32,16 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--packed", action="store_true",
                      help="tokens as LE-int32 binary blobs (fast transport)")
 
-    aud = sub.add_parser("audit", help="bit-identical round-trip check vs a source table")
+    aud = sub.add_parser(
+        "audit",
+        help="round-trip equality vs a source table (aggregate hash "
+             "signature by default; --strict for the full exceptAll proof)")
     aud.add_argument("src")
     aud.add_argument("root")
     aud.add_argument("--packed", action="store_true",
                      help="compare LE-int32 blobs (pyarrow fast source both sides)")
+    aud.add_argument("--strict", action="store_true",
+                     help="exact exceptAll diff instead of the hash signature")
 
     fs = sub.add_parser("fsck", help="verify CRCs + counts of every committed chunk")
     fs.add_argument("root")
@@ -82,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 original = spark.read.parquet(args.src)
             res = decode_job.audit(
-                original, decode_job.decode(spark, args.root, packed=args.packed))
+                original, decode_job.decode(spark, args.root, packed=args.packed),
+                strict=args.strict)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
         elif args.cmd == "fsck":

@@ -134,9 +134,15 @@ def decode(spark: SparkSession, root: str,
         # tables written before doc splitting existed: every chunk whole
         pages = (pages.withColumn("doc_part", F.lit(0))
                  .withColumn("doc_parts", F.lit(1)))
+    else:
+        # mixed-version tables: rows from files predating these columns
+        # surface as NULL under mergeSchema — NULL doc_parts would fail
+        # BOTH split-branch filters and silently drop the rows
+        pages = pages.na.fill({"doc_part": 0, "doc_parts": 1})
     if "split_uid" not in pages.columns:
-        # pre-split_uid tables: doc_id itself keyed the (unique) splits
-        pages = pages.withColumn("split_uid", F.col("doc_id_min"))
+        # pre-split_uid tables: decode-side coalesce with doc_id (below)
+        # reproduces the legacy grouping
+        pages = pages.withColumn("split_uid", F.lit(None).cast("string"))
     # cheap metadata probe (columnar scan of one small column): skip the
     # reassembly aggregate entirely when no document was split
     max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
@@ -161,6 +167,12 @@ def decode(spark: SparkSession, root: str,
         tok_parts = F.transform(parts_sorted, lambda s: s["tokens"])
         tok = (F.aggregate(tok_parts, F.lit(b""), lambda acc, x: F.concat(acc, x))
                if packed else F.flatten(tok_parts))
+        # legacy rows (pre-split_uid files, incl. inside mixed-version
+        # tables) carry NULL split_uid; their chunks hold exactly one
+        # doc, so doc_id is the historical group key — the coalesce
+        # keeps them correct without merging across documents
+        split = split.withColumn(
+            "split_uid", F.coalesce(F.col("split_uid"), F.col("doc_id")))
         reassembled = (split.groupBy("split_uid")
                        .agg(F.first("doc_id").alias("doc_id"),
                             tok.alias("tokens"),

@@ -282,6 +282,19 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         return read_pages(spark, out_root)
     if n_salts is None:
         n_salts = part.salts_for(df.count())
+    # resume safety: group membership is salt(n_salts) % commit_groups,
+    # so resuming a partially committed table under a different scheme
+    # would silently drop/duplicate documents — fail fast instead
+    scheme = {"group_scheme": "salt_mod", "n_salts": int(n_salts),
+              "commit_groups": int(commit_groups)}
+    has_batch_groups = any(k.startswith("g") and k[1:].isdigit() for k in done)
+    if has_batch_groups:
+        prev = next((s["metrics"]["scheme"] for s in reversed(tbl.snapshots())
+                     if s.get("metrics", {}).get("scheme")), None)
+        if prev != scheme:
+            raise ValueError(
+                f"cannot resume {out_root}: committed scheme {prev} != "
+                f"this run's {scheme} (pass matching n_salts/commit_groups)")
     if partitions is None:
         # 4x tasks per core smooths (bucket, salt) group-size stragglers
         partitions = spark.sparkContext.defaultParallelism * 4
@@ -312,7 +325,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             # group had zero rows: commit an empty path list so resume
             # knows it is done
             tbl.commit({f"g{g}": []}, metrics={"n_chunks": 0, "n_rows": 0,
-                                               "n_tokens": 0})
+                                               "n_tokens": 0, "scheme": scheme})
             continue
         m = spark.read.parquet(gdir).agg(
             F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
@@ -321,6 +334,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m = {k: int(v or 0) for k, v in m.items()}
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
+        m["scheme"] = scheme
         tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 
@@ -415,4 +429,8 @@ def read_pages(spark: SparkSession, root: str) -> DataFrame:
     paths = tbl.data_paths()
     if not paths:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    return spark.read.parquet(*paths)
+    # mergeSchema: runs written by different engine versions may carry
+    # different lineage columns (doc_part/split_uid additions); the
+    # union schema must surface them all, not whichever file Spark
+    # samples first
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

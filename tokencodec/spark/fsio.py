@@ -72,8 +72,10 @@ class HadoopFS:
                 f"manifest root '{root}' needs a Hadoop filesystem, which "
                 "requires an active SparkSession")
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
-            spark._jsc.hadoopConfiguration())
+            self._conf)
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -102,18 +104,30 @@ class HadoopFS:
             out.close()
 
     def create_excl(self, path: str, text: str) -> None:
-        # FileSystem.create(overwrite=false) raises if the file exists
-        self._write(path, text, False)
+        # FileSystem.create(overwrite=false) raises if the file exists;
+        # translate to the interface's FileExistsError so commit-race
+        # handling is backend-independent
+        try:
+            self._write(path, text, False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                raise FileExistsError(path) from e
+            raise
 
     def write_atomic(self, path: str, text: str) -> None:
         parent, name = path.rsplit("/", 1)
         tmp = f"{parent}/.tmp-{uuid.uuid4().hex}"
         self._write(tmp, text, True)
-        p = self._p(path)
-        if self._fs.exists(p):
-            self._fs.delete(p, False)
-        if not self._fs.rename(self._p(tmp), p):
-            raise OSError(f"rename {tmp} -> {path} failed")
+        # FileContext.rename(OVERWRITE) is the atomic pointer swap on
+        # HDFS (FileSystem.rename has no overwrite flag, and a
+        # delete-then-rename would open a window where CURRENT does not
+        # exist — readers would see a committed table as empty)
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._p(path).toUri(), self._conf)
+        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(self._p(tmp), self._p(path), opts)
 
     def listdir(self, path: str) -> list[str]:
         return [st.getPath().getName()
