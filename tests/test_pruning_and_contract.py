@@ -56,3 +56,44 @@ def test_doc_range_pruning_packed(spark, enc_root):
                       (F.length("tokens") == F.col("n_tok") * 4).alias("len_ok"))
     got = rows.agg(F.count("*").alias("n"), F.min("len_ok").alias("ok")).collect()[0]
     assert got.n == n_expected and got.ok is True
+
+
+def test_page_level_projection(spark, enc_root):
+    """columns= decodes only the requested pages: results match the
+    projected full decode, and the scan never reads the tokens pages."""
+    df, root = enc_root
+    out = decode_job.decode(spark, root, columns=["doc_id", "n_tok"])
+    expected = df.select("doc_id", "n_tok")
+    assert out.columns == ["doc_id", "n_tok"]
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+    from tests.test_plans import _formatted
+    plan = _formatted(out, spark)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "page_n_tok" in read_schema
+    assert "page_tokens" not in read_schema, read_schema
+    assert "page_source" not in read_schema, read_schema
+
+
+def test_projection_with_splits(spark, tmp_path):
+    """Projections over a table with split docs: n_tok re-sums parts,
+    doc_id/source dedupe to one row per doc."""
+    root = str(tmp_path / "enc")
+    df = synth.token_table(spark, 150, seed=23)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=1 << 9)
+    pages = encode_job.read_pages(spark, root)
+    assert pages.filter(F.col("doc_parts") > 1).count() > 0
+
+    nt = decode_job.decode(spark, root, columns=["doc_id", "n_tok"])
+    assert decode_job.audit(df.select("doc_id", "n_tok"), nt) == {
+        "missing": 0, "extra": 0, "ok": True}
+    ids = decode_job.decode(spark, root, columns=["source", "doc_id"])
+    assert ids.columns == ["source", "doc_id"]
+    assert decode_job.audit(df.select("source", "doc_id"), ids) == {
+        "missing": 0, "extra": 0, "ok": True}
+    # range filter without doc_id in the projection still works
+    lo, hi = "doc-000000000010", "doc-000000000050"
+    src_only = decode_job.decode(spark, root, doc_id_min=lo, doc_id_max=hi,
+                                 columns=["source"])
+    n_expected = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).count()
+    assert src_only.columns == ["source"] and src_only.count() == n_expected

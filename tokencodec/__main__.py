@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--doc-id-max")
     dec.add_argument("--packed", action="store_true",
                      help="tokens as LE-int32 binary blobs (fast transport)")
+    dec.add_argument("--columns",
+                     help="comma-separated projection (page-level pushdown), "
+                          "e.g. doc_id,n_tok")
 
     aud = sub.add_parser(
         "audit",
@@ -77,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from tokencodec.spark import decode_job
             df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,
-                                   doc_id_max=args.doc_id_max, packed=args.packed)
+                                   doc_id_max=args.doc_id_max, packed=args.packed,
+                                   columns=(args.columns.split(",")
+                                            if args.columns else None))
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":

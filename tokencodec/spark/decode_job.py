@@ -8,6 +8,13 @@ directly from the n_tok prefix sums via
 `pa.ListArray.from_arrays(offsets, values)` — no rep/def levels needed
 for the flat+array schema (SURVEY.md §2a op #17-19).
 
+Projection pushdown reaches the PAGE level (the reference's projection
+cleanup, op #20, pushed into the binary format): ``columns=`` decodes
+only the pages of requested columns, so a (doc_id, n_tok) scan never
+reads the tokens pages — 98.7% of the table's bytes on the bench
+corpus — and `.explain` shows only the needed page binaries in
+ReadSchema.
+
 ``packed=True`` returns tokens as little-endian int32 BINARY blobs
 instead of array<int32>: binary columns cross the Python->JVM Arrow
 boundary as bulk buffer copies, while array<int32> goes through Spark's
@@ -18,7 +25,8 @@ fast source. `audit` consumes either representation.
 (/root/reference/tests/integration/Spec.hs:96-98): per-row token-array
 equality. Fast path: ONE aggregate per side over per-row xxhash64
 (count + hash sum + hash xor), no shuffle of row data at all; the
-double-exceptAll diff runs only when the signatures disagree.
+double-exceptAll diff runs only when the signatures disagree
+(strict=True forces it).
 """
 
 from __future__ import annotations
@@ -32,13 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tokencodec import pageformat
 from tokencodec.spark.encode_job import read_pages
-from tokencodec.spark.synth import SCHEMA_DDL
 
-_PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
-_PART_COLS = _PAGE_COLS + ["doc_part", "doc_parts", "split_uid"]
-_PART_DDL = SCHEMA_DDL + ", doc_part int, doc_parts int, split_uid string"
-PACKED_SCHEMA_DDL = "doc_id string, tokens binary, n_tok int, source string"
-_PACKED_PART_DDL = PACKED_SCHEMA_DDL + ", doc_part int, doc_parts int, split_uid string"
+ALL_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+_COL_PAGE = {"doc_id": "page_doc_id", "tokens": "page_tokens",
+             "n_tok": "page_n_tok", "source": "page_source"}
+_LINEAGE_COLS = ["doc_part", "doc_parts", "split_uid"]
 
 
 def _binary_views(col: pa.Array) -> tuple[np.ndarray, memoryview]:
@@ -56,61 +62,80 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, memoryview]:
     return off, data
 
 
-def _decode_chunk(p_tokens, p_doc, p_ntok, p_src, packed: bool) -> pa.RecordBatch:
-    ntok = pageformat.decode_int_page(p_ntok)
-    values = pageformat.decode_int_page(p_tokens)
-    n = len(ntok)
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(ntok, out=offsets[1:])
-    if packed:
-        blob = np.ascontiguousarray(values.astype(np.int32, copy=False)).view(np.uint8)
-        tokens = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer((offsets * 4).astype(np.int32)), pa.py_buffer(blob)])
-    else:
-        tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                          pa.array(values, type=pa.int32()))
-    do, dd = pageformat.decode_string_page(p_doc)
-    so, sd = pageformat.decode_string_page(p_src)
-    doc_id = pa.Array.from_buffers(pa.large_string(), n,
-                                   [None, pa.py_buffer(do), pa.py_buffer(dd)]).cast(pa.string())
-    source = pa.Array.from_buffers(pa.large_string(), n,
-                                   [None, pa.py_buffer(so), pa.py_buffer(sd)]).cast(pa.string())
-    return pa.RecordBatch.from_arrays(
-        [doc_id, tokens, pa.array(ntok.astype(np.int32), type=pa.int32()), source],
-        names=["doc_id", "tokens", "n_tok", "source"])
+def _string_array(page) -> pa.Array:
+    off, data = pageformat.decode_string_page(page)
+    return pa.Array.from_buffers(
+        pa.large_string(), len(off) - 1,
+        [None, pa.py_buffer(off), pa.py_buffer(data)]).cast(pa.string())
 
 
-def make_decode_batches(packed: bool = False):
+def _decode_chunk(pages: dict, cols: list[str], packed: bool) -> pa.RecordBatch:
+    """Decode the REQUESTED columns of one chunk; unrequested pages are
+    never parsed (their bytes never even reach this function)."""
+    ntok = (pageformat.decode_int_page(pages["page_n_tok"])
+            if "page_n_tok" in pages else None)
+    arrays: dict[str, pa.Array] = {}
+    n = len(ntok) if ntok is not None else None
+    if "tokens" in cols:
+        values = pageformat.decode_int_page(pages["page_tokens"])
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(ntok, out=offsets[1:])
+        if packed:
+            blob = np.ascontiguousarray(values.astype(np.int32, copy=False)).view(np.uint8)
+            arrays["tokens"] = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer((offsets * 4).astype(np.int32)), pa.py_buffer(blob)])
+        else:
+            arrays["tokens"] = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32()))
+    if "n_tok" in cols:
+        arrays["n_tok"] = pa.array(ntok.astype(np.int32), type=pa.int32())
+    for name in ("doc_id", "source"):
+        if name in cols:
+            arrays[name] = _string_array(pages[_COL_PAGE[name]])
+            n = len(arrays[name]) if n is None else n
+    return pa.RecordBatch.from_arrays([arrays[c] for c in cols], names=cols)
+
+
+def make_decode_batches(packed: bool = False, cols: list[str] | None = None):
+    cols = list(ALL_COLUMNS) if cols is None else cols
+    page_cols = sorted({_COL_PAGE[c] for c in cols}
+                       | ({"page_n_tok"} if "tokens" in cols else set()))
+
     def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             # zero-copy page access: slice memoryviews out of the binary
             # columns instead of .as_py() copies
-            views = [_binary_views(batch.column(idx[c])) for c in _PAGE_COLS]
+            views = {c: _binary_views(batch.column(idx[c])) for c in page_cols}
             parts = [batch.column(idx[c]) for c in ("doc_part", "doc_parts")]
             uids = batch.column(idx["split_uid"])
             for r in range(batch.num_rows):
                 chunk = _decode_chunk(
-                    *(data[off[r]:off[r + 1]] for off, data in views), packed)
+                    {c: data[off[r]:off[r + 1]] for c, (off, data) in views.items()},
+                    cols, packed)
                 n = chunk.num_rows
                 yield pa.RecordBatch.from_arrays(
                     list(chunk.columns)
                     + [pa.array([parts[0][r].as_py()] * n, pa.int32()),
                        pa.array([parts[1][r].as_py()] * n, pa.int32()),
                        pa.array([uids[r].as_py()] * n, pa.string())],
-                    names=list(chunk.schema.names) + ["doc_part", "doc_parts", "split_uid"])
+                    names=list(chunk.schema.names) + _LINEAGE_COLS)
 
-    return decode_batches
+    return decode_batches, page_cols
 
 
-decode_batches = make_decode_batches(False)
+def _out_ddl(cols: list[str], packed: bool) -> str:
+    types = {"doc_id": "string", "n_tok": "int", "source": "string",
+             "tokens": "binary" if packed else "array<int>"}
+    return ", ".join(f"{c} {types[c]}" for c in cols)
 
 
 def decode(spark: SparkSession, root: str,
            doc_id_min: str | None = None, doc_id_max: str | None = None,
-           buckets: list[int] | None = None, packed: bool = False) -> DataFrame:
-    """Decode committed pages; optional chunk pruning on lineage.
+           buckets: list[int] | None = None, packed: bool = False,
+           columns: list[str] | None = None) -> DataFrame:
+    """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
     column chunk of every row group, /root/reference/src/Parquet/Reader.hs:577-585):
@@ -119,8 +144,22 @@ def decode(spark: SparkSession, root: str,
     min/max skipping exactly like Iceberg/parquet row-group stats.
     A doc-id range filter is re-applied row-level after decode (chunk
     ranges overlap the predicate, rows must match it exactly).
+    ``columns`` projects at the page level: only the requested columns'
+    binary pages are read and parsed.
     """
     from pyspark.sql import functions as F
+
+    req = list(ALL_COLUMNS) if columns is None else list(columns)
+    bad = [c for c in req if c not in ALL_COLUMNS]
+    if bad:
+        raise ValueError(f"unknown columns {bad}; available: {ALL_COLUMNS}")
+    # doc_id is needed internally for range filters and for legacy
+    # split-group keys; decoded if missing, dropped again at the end
+    cols = list(req)
+    needs_doc = (doc_id_min is not None or doc_id_max is not None
+                 or "tokens" in cols or "n_tok" in cols)
+    if needs_doc and "doc_id" not in cols:
+        cols = ["doc_id"] + cols
 
     pages = read_pages(spark, root)
     if doc_id_min is not None:
@@ -148,43 +187,47 @@ def decode(spark: SparkSession, root: str,
     max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
                  if has_parts else 1)
     any_split = bool(max_parts and max_parts > 1)
-    # column pruning: only the binary pages (+ part markers) cross the
-    # Arrow boundary
-    ddl = _PACKED_PART_DDL if packed else _PART_DDL
-    raw = pages.select(_PART_COLS).mapInArrow(make_decode_batches(packed), ddl)
+    # column pruning down to the PAGE level: only requested columns'
+    # binary pages (+ part markers) cross the Arrow boundary
+    fn, page_cols = make_decode_batches(packed, cols)
+    raw = pages.select(page_cols + _LINEAGE_COLS).mapInArrow(
+        fn, _out_ddl(cols, packed) + ", doc_part int, doc_parts int, split_uid string")
     if not any_split:
-        out = raw.drop("doc_part", "doc_parts", "split_uid")
+        out = raw.drop(*_LINEAGE_COLS)
+    elif "tokens" not in cols and "n_tok" not in cols:
+        # split parts duplicate (doc_id, source); part 0 is the identity
+        out = raw.filter(F.col("doc_part") == 0).drop(*_LINEAGE_COLS)
     else:
-        whole = raw.filter(F.col("doc_parts") == 1).drop(
-            "doc_part", "doc_parts", "split_uid")
+        whole = raw.filter(F.col("doc_parts") == 1).drop(*_LINEAGE_COLS)
         split = raw.filter(F.col("doc_parts") > 1)
         # oversized documents were split across chunks at encode time
         # (skew handling); reassemble token parts in doc_part order,
         # grouped on the encode-time split uid (NOT doc_id: a duplicate
         # doc_id encoded twice must yield two rows, never one merged
-        # corruption) — the struct sort + flatten/concat is all JVM-side
-        parts_sorted = F.array_sort(F.collect_list(F.struct("doc_part", "tokens")))
-        tok_parts = F.transform(parts_sorted, lambda s: s["tokens"])
-        tok = (F.aggregate(tok_parts, F.lit(b""), lambda acc, x: F.concat(acc, x))
-               if packed else F.flatten(tok_parts))
-        # legacy rows (pre-split_uid files, incl. inside mixed-version
+        # corruption) — the struct sort + flatten/concat is all JVM-side.
+        # Legacy rows (pre-split_uid files, incl. inside mixed-version
         # tables) carry NULL split_uid; their chunks hold exactly one
-        # doc, so doc_id is the historical group key — the coalesce
-        # keeps them correct without merging across documents
+        # doc, so doc_id is the historical group key.
         split = split.withColumn(
             "split_uid", F.coalesce(F.col("split_uid"), F.col("doc_id")))
-        reassembled = (split.groupBy("split_uid")
-                       .agg(F.first("doc_id").alias("doc_id"),
-                            tok.alias("tokens"),
-                            F.sum("n_tok").cast("int").alias("n_tok"),
-                            F.first("source").alias("source"))
-                       .select("doc_id", "tokens", "n_tok", "source"))
+        aggs = [F.first("doc_id").alias("doc_id")]
+        if "tokens" in cols:
+            parts_sorted = F.array_sort(F.collect_list(F.struct("doc_part", "tokens")))
+            tok_parts = F.transform(parts_sorted, lambda s: s["tokens"])
+            tok = (F.aggregate(tok_parts, F.lit(b""), lambda acc, x: F.concat(acc, x))
+                   if packed else F.flatten(tok_parts))
+            aggs.append(tok.alias("tokens"))
+        if "n_tok" in cols:
+            aggs.append(F.sum("n_tok").cast("int").alias("n_tok"))
+        if "source" in cols:
+            aggs.append(F.first("source").alias("source"))
+        reassembled = split.groupBy("split_uid").agg(*aggs).select(*cols)
         out = whole.unionByName(reassembled)
     if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
-    return out
+    return out.select(*req)
 
 
 def _signature(df: DataFrame):
@@ -192,7 +235,7 @@ def _signature(df: DataFrame):
     per-row xxhash64 in decimal space — no overflow — and xor)."""
     from pyspark.sql import functions as F
 
-    h = F.xxhash64("doc_id", "tokens", "n_tok", "source")
+    h = F.xxhash64(*df.columns)
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(h.cast("decimal(38,0)")).alias("hsum"),
@@ -208,9 +251,10 @@ def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict
     shuffles of both tables. On signature mismatch (or strict=True) the
     exact exceptAll diff runs to report row counts.
     """
+    cols = [c for c in ALL_COLUMNS if c in original.columns]
     if not strict:
-        a = _signature(original.select("doc_id", "tokens", "n_tok", "source"))
-        b = _signature(decoded.select("doc_id", "tokens", "n_tok", "source"))
+        a = _signature(original.select(*cols))
+        b = _signature(decoded.select(*cols))
         if tuple(a) == tuple(b):
             return {"missing": 0, "extra": 0, "ok": True}
     missing = original.exceptAll(decoded).count()
