@@ -158,6 +158,24 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_engine_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level projection pushdown: decode only (doc_id, n_tok) —
+    the tokens pages (the vast majority of table bytes) are never
+    parsed — and let DuckDB recompute the same rows from `documents`."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _docs_root(spark, sf_dir),
+                            columns=["doc_id", "n_tok"])
+    return (out.select("doc_id", F.col("n_tok").cast("bigint").alias("n_tok"))
+            .orderBy("doc_id"))
+
+
+SQL_ENGINE_DECODE_PROJECTION = """
+SELECT printf('d%09d', doc_id) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket lineage recorded at encode time, cross-checked against
     source truth: bucket membership (bit_length of n_tok), doc counts,
@@ -1265,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_encode_metrics": q_engine_encode_metrics,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
         "engine_decode_rows": q_engine_decode_rows,
+        "engine_decode_projection": q_engine_decode_projection,
         "engine_lineage": q_engine_lineage,
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
         "engine_stream_encode": q_engine_stream_encode,
@@ -1305,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "engine_decode_rows": SQL_ENGINE_DECODE_ROWS,
+        "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,
         "engine_stream_encode": SQL_ENGINE_DECODE_ROWS,
         "engine_fsck": SQL_ENGINE_FSCK,
