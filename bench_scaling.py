@@ -3,17 +3,18 @@
 
 The sandbox has no multi-node cluster, so per BASELINE.md the proxy is
 the same encode job via `spark-submit --py-files` at two parallelism
-levels (default local[2] vs local[8]) on the *same* materialized
+levels (default local[1] vs local[4]) on the *same* materialized
 input, which is byte-identical by construction (synth + chunking are
 partition-independent, see tests/test_resume.py).
 
-Why 2 vs 8 and not 8 vs 32: this box has 32 cores on ONE memory bus;
-pure-numpy kernel throughput saturates at ~870M tokens/s around 8-16
-processes (measured, see BASELINE.md "Measured" table), so an 8->32
-comparison measures DRAM, not the engine. On a real cluster 4N
-executors bring 4N memory buses — the 2->8 regime (cores the binding
-resource, like a cluster) is the faithful proxy. Both curves are
-reported.
+Why 1 vs 4 (round 2; round 1 used 2 vs 8): this box has 32 cores on
+ONE memory bus; pure-numpy kernel throughput saturates at ~870M
+tokens/s around 8-16 processes (measured, see BASELINE.md "Measured"
+table), and by 8 cores wall times are dominated by DRAM + host noise
+(8-core walls vary 20-50s on identical runs). On a real cluster 4N
+executors bring 4N memory buses — the lowest-pressure cores-bound
+regime is the faithful proxy for executor scaling. The 2->8 curve is
+reported alongside in BENCH_SCALING.json (secondary_2_to_8).
 
 Usage:
     python bench_scaling.py            # orchestrates both runs, prints JSON
@@ -32,7 +33,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-N_SMALL = int(os.environ.get("TOKENCODEC_SCALE_N", "2"))
+N_SMALL = int(os.environ.get("TOKENCODEC_SCALE_N", "1"))
 N_BIG = int(os.environ.get("TOKENCODEC_SCALE_4N", str(N_SMALL * 4)))
 ROWS = int(os.environ.get("TOKENCODEC_SCALE_ROWS", "160000"))
 SEED = 42
