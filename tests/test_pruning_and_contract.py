@@ -97,3 +97,23 @@ def test_projection_with_splits(spark, tmp_path):
                                  columns=["source"])
     n_expected = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).count()
     assert src_only.columns == ["source"] and src_only.count() == n_expected
+
+
+def test_projection_packed_with_splits(spark, tmp_path):
+    """tokens-only packed projection over a split table: parts concat in
+    order; blob bytes equal 4x the true token count per doc."""
+    root = str(tmp_path / "enc")
+    df = synth.token_table(spark, 100, seed=29)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=1 << 9)
+    out = decode_job.decode(spark, root, columns=["doc_id", "tokens"], packed=True)
+    j = out.join(df.select("doc_id", "n_tok"), "doc_id")
+    bad = j.filter(F.length("tokens") != F.col("n_tok") * 4).count()
+    assert bad == 0 and out.count() == 100
+    # content equality via per-doc hash against the list form
+    lst = decode_job.decode(spark, root, columns=["doc_id", "tokens"])
+    import tests.test_packed_and_audit as tpa
+    b = lst.select("doc_id", F.xxhash64(F.aggregate(
+        F.transform("tokens", tpa._le4), F.lit(b""),
+        lambda x, y: F.concat(x, y))).alias("h"))
+    a = out.select("doc_id", F.xxhash64("tokens").alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
