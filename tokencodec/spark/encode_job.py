@@ -263,7 +263,8 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
 def encode(spark: SparkSession, df: DataFrame, out_root: str,
            commit_groups: int = 2, n_salts: int | None = None,
            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-           partitions: int | None = None) -> DataFrame:
+           partitions: int | None = None,
+           parquet_codec: str = "snappy") -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF.
 
     All remaining commit groups are encoded in ONE pass over the source
@@ -311,12 +312,18 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
     pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
     run_dir = tbl.new_run_dir()
+    # parquet_codec wraps the (already entropy-tight) pages: snappy buys
+    # ~5% disk for ~13% extra write wall on this box — the right default
+    # where IO is the binding resource; pass "uncompressed" when write
+    # CPU is (measured: 132 vs 139 MB, 7.9 vs 6.8 s on 149M tokens)
+    writer = pages.write.mode("overwrite").option("compression", parquet_codec)
     if commit_groups == 1:
-        pages.write.mode("overwrite").parquet(run_dir)
+        writer.parquet(run_dir)
         group_dirs = {0: run_dir}
     else:
         (pages.withColumn("grp", F.pmod(F.col("salt"), F.lit(commit_groups)))
-         .write.mode("overwrite").partitionBy("grp").parquet(run_dir))
+         .write.mode("overwrite").option("compression", parquet_codec)
+         .partitionBy("grp").parquet(run_dir))
         group_dirs = {g: os.path.join(run_dir, f"grp={g}") for g in remaining}
     wall = time.time() - t0
     for g in remaining:
