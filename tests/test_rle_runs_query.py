@@ -54,3 +54,45 @@ def test_block_runs_span_boundaries(spark, tmp_path):
                      F.when((F.col("id") / 100).cast("int") % 2 == 0, "A").otherwise("B"))
     assert _runs(spark, d) == {"A": (N // 200, 100, N // 2),
                                "B": (N // 200, 100, N // 2)}
+
+
+def test_random_flags_match_bruteforce(spark, tmp_path):
+    """Random flag sequences at several partition counts must match a
+    pure-python gaps-and-islands computation exactly."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    n = 5000
+    flags = []
+    i = 0
+    while i < n:
+        f = rng.choice("ABC")
+        run = rng.choice([1, 1, 1, 2, 3, 8, 40, 300])
+        flags.extend([f] * min(run, n - i))
+        i += run
+    flags = flags[:n]
+
+    # brute force
+    expected = {}
+    for f, grp in itertools.groupby(flags):
+        L = len(list(grp))
+        nr, mx, nv = expected.get(f, (0, 0, 0))
+        expected[f] = (nr + 1, max(mx, L), nv + L)
+
+    df = (spark.createDataFrame([(i, flags[i]) for i in range(n)],
+                                "l_orderkey bigint, l_returnflag string")
+          .select("l_orderkey", F.lit(1).alias("l_linenumber"), "l_returnflag",
+                  F.lit(2).alias("l_partkey"), F.lit(3).alias("l_suppkey"),
+                  F.lit(4.0).alias("l_extendedprice")))
+    d = str(tmp_path)
+    df.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet"))
+    for parts in ("5", "32"):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            got = _runs(spark, d)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert got == expected, (parts, got, expected)
