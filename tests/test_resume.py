@@ -134,3 +134,30 @@ def test_resume_with_mismatched_scheme_fails_fast(spark, tmp_path, monkeypatch):
     # matching scheme resumes fine
     encode_job.encode(spark, df, root, commit_groups=2, n_salts=8)
     assert len(SnapshotTable(root).committed_groups()) == 2
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Snapshots are immutable: decoding at snapshot 0 returns exactly
+    the first commit group's documents even after later commits."""
+    from pyspark.sql import functions as F
+
+    from tokencodec.spark import decode_job
+    from tokencodec.spark import partition as part
+
+    df = synth.token_table(spark, 300, seed=5).cache()
+    root = str(tmp_path / "tt")
+    encode_job.encode(spark, df, root, commit_groups=2)
+    n_salts = part.salts_for(300)
+
+    at0 = decode_job.decode(spark, root, snapshot_id=0)
+    g0_key = int(SnapshotTable(root).snapshot(0)["new_groups"][0][1:])
+    expected = df.filter(
+        F.pmod(F.pmod(F.crc32("doc_id"), F.lit(n_salts)), F.lit(2)) == g0_key)
+    assert decode_job.audit(expected, at0) == {"missing": 0, "extra": 0, "ok": True}
+    assert 0 < at0.count() < 300
+
+    full = decode_job.decode(spark, root)  # current snapshot: everything
+    assert full.count() == 300
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no snapshot 9"):
+        decode_job.decode(spark, root, snapshot_id=9)

@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--columns",
                      help="comma-separated projection (page-level pushdown), "
                           "e.g. doc_id,n_tok")
+    dec.add_argument("--snapshot-id", type=int,
+                     help="time travel: decode the table as of this snapshot")
 
     aud = sub.add_parser(
         "audit",
@@ -82,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
             df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,
                                    doc_id_max=args.doc_id_max, packed=args.packed,
                                    columns=(args.columns.split(",")
-                                            if args.columns else None))
+                                            if args.columns else None),
+                                   snapshot_id=args.snapshot_id)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":

@@ -134,7 +134,8 @@ def _out_ddl(cols: list[str], packed: bool) -> str:
 def decode(spark: SparkSession, root: str,
            doc_id_min: str | None = None, doc_id_max: str | None = None,
            buckets: list[int] | None = None, packed: bool = False,
-           columns: list[str] | None = None) -> DataFrame:
+           columns: list[str] | None = None,
+           snapshot_id: int | None = None) -> DataFrame:
     """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
@@ -161,7 +162,7 @@ def decode(spark: SparkSession, root: str,
     if needs_doc and "doc_id" not in cols:
         cols = ["doc_id"] + cols
 
-    pages = read_pages(spark, root)
+    pages = read_pages(spark, root, snapshot_id=snapshot_id)
     if doc_id_min is not None:
         pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
     if doc_id_max is not None:

@@ -431,9 +431,13 @@ def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
     return encode(spark, pack_source(spark, src_dir), out_root, **kw)
 
 
-def read_pages(spark: SparkSession, root: str) -> DataFrame:
+def read_pages(spark: SparkSession, root: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Pages of the current snapshot, or of ``snapshot_id`` (time
+    travel: snapshots are immutable, so any historical table state
+    stays readable until its files are garbage-collected)."""
     tbl = SnapshotTable(root)
-    paths = tbl.data_paths()
+    paths = tbl.data_paths(snapshot_id)
     if not paths:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     # mergeSchema: runs written by different engine versions may carry

@@ -49,13 +49,22 @@ class SnapshotTable:
         name = self.fs.read_text(cur).strip()
         return json.loads(self.fs.read_text(posixpath.join(self.manifest_dir, name)))
 
-    def committed_groups(self) -> dict[str, list[str]]:
-        snap = self.current_snapshot()
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a specific (immutable) snapshot — time travel."""
+        name = f"snapshot-{snapshot_id:06d}.json"
+        path = posixpath.join(self.manifest_dir, name)
+        if not self.fs.exists(path):
+            raise FileNotFoundError(f"no snapshot {snapshot_id} under {self.root}")
+        return json.loads(self.fs.read_text(path))
+
+    def committed_groups(self, snapshot_id: int | None = None) -> dict[str, list[str]]:
+        snap = (self.current_snapshot() if snapshot_id is None
+                else self.snapshot(snapshot_id))
         return dict(snap["groups"]) if snap else {}
 
-    def data_paths(self) -> list[str]:
+    def data_paths(self, snapshot_id: int | None = None) -> list[str]:
         paths: list[str] = []
-        for ps in self.committed_groups().values():
+        for ps in self.committed_groups(snapshot_id).values():
             paths.extend(ps)
         return paths
 
