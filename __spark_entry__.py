@@ -374,51 +374,74 @@ def q_rle_runs_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     # order must be total across engines: include the flag so any
-    # remaining ties are between rows with equal flag (run-safe)
+    # remaining ties are between rows with equal flag (run-safe); the
+    # synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs,
+    # so the full tiebreak chain is load-bearing
     keys = ["l_orderkey", "l_linenumber", "l_returnflag", "l_partkey",
             "l_suppkey", "l_extendedprice"]
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rdf = (li.select(*keys)
-           .repartitionByRange(n_part, *keys)
-           .sortWithinPartitions(*keys)
-           .select(F.spark_partition_id().alias("pid"), "l_returnflag"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # 'auto' under AQE coalescing
+        n_part = spark.sparkContext.defaultParallelism
+    # explicit order-preserving buckets from the key's min/max (one
+    # single-column aggregate, answerable from parquet footer stats with
+    # aggregate pushdown) instead of repartitionByRange, whose sampling
+    # pass re-scans every sort column before the real shuffle
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    if lo is None:
+        lo = hi = 0  # empty table: any bucketing works
+    width = max(1, (int(hi) - int(lo)) // n_part + 1)
+    bkt = ((F.col("l_orderkey") - F.lit(int(lo))) / F.lit(width)).cast("int")
+    rdf = (li.select(*keys).withColumn("bkt", bkt)
+           .repartition(n_part, "bkt")
+           .sortWithinPartitions("bkt", *keys)
+           .select("bkt", "l_returnflag"))
 
     def detect_runs(it):
-        pid, chunks = None, []
+        bks, fls = [], []
         for b in it:
-            if b.num_rows == 0:
-                continue
-            pid = b.column(0)[0].as_py()
-            chunks.append(b.column(1))
-        if pid is None:
+            if b.num_rows:
+                bks.append(b.column(0))
+                fls.append(b.column(1))
+        if not bks:
             return
-        col = pa.concat_arrays(chunks)
+        bk = pa.concat_arrays(bks).to_numpy(zero_copy_only=False)
+        col = pa.concat_arrays(fls)
         n = len(col)
         eq = pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        change = np.flatnonzero(~eq) + 1
+        same_b = bk[1:] == bk[:-1]
+        # a hash partition can hold several buckets (sorted contiguous);
+        # runs break at bucket edges and the stitch below re-merges them
+        change = np.flatnonzero(~(eq & same_b)) + 1
         starts = np.concatenate(([0], change))
-        lens = np.diff(np.concatenate((starts, [n])))
+        ends = np.concatenate((change, [n]))
+        at_bstart = np.empty(len(starts), dtype=bool)
+        at_bstart[0] = True
+        at_bstart[1:] = bk[starts[1:]] != bk[starts[1:] - 1]
+        at_bend = np.empty(len(ends), dtype=bool)
+        at_bend[-1] = True
+        at_bend[:-1] = bk[ends[:-1]] != bk[ends[:-1] - 1]
         k = len(starts)
         yield pa.RecordBatch.from_arrays(
-            [pa.array([pid] * k, pa.int32()),
+            [pa.array(bk[starts].astype(np.int32)),
              pa.array(np.arange(k, dtype=np.int32)),
              col.take(pa.array(starts)),
-             pa.array(lens.astype(np.int64)),
-             pa.array(starts == 0),
-             pa.array(np.arange(k) == k - 1)],
-            names=["pid", "seq", "flag", "run_len", "is_first", "is_last"])
+             pa.array((ends - starts).astype(np.int64)),
+             pa.array(at_bstart),
+             pa.array(at_bend)],
+            names=["bkt", "seq", "flag", "run_len", "is_first", "is_last"])
 
     runs = rdf.mapInArrow(
         detect_runs,
-        "pid int, seq int, flag string, run_len bigint, is_first boolean, is_last boolean")
+        "bkt int, seq int, flag string, run_len bigint, is_first boolean, is_last boolean")
     interior = runs.filter(~F.col("is_first") & ~F.col("is_last"))
     boundary = runs.filter(F.col("is_first") | F.col("is_last"))
-    # stitch boundary-spanning runs: <= 2 rows per partition, so this
-    # global-order window runs over partition-count metadata only
-    w = Window.orderBy("pid", "seq")
+    # stitch bucket-spanning runs: <= 2 rows per bucket, so this
+    # global-order window runs over bucket-count metadata only
+    w = Window.orderBy("bkt", "seq")
     chained = (boundary
                .withColumn("merge_prev",
-                           F.coalesce((F.lag("pid").over(w) != F.col("pid"))
+                           F.coalesce((F.lag("bkt").over(w) != F.col("bkt"))
                                       & F.lag("is_last").over(w) & F.col("is_first")
                                       & (F.lag("flag").over(w) == F.col("flag")),
                                       F.lit(False)))

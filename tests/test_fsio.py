@@ -69,3 +69,13 @@ def test_commit_race_fails_loudly(tmp_path):
         tbl.commit({"g1": ["b"]})
     # CURRENT still points at the last good snapshot
     assert tbl.current_snapshot()["snapshot_id"] == 0
+
+
+def test_fs_for_refuses_rename_unsafe_schemes():
+    """S3-style stores have neither atomic rename nor atomic
+    create-exclusive; fs_for must refuse them for manifest IO unless the
+    caller opts into single-writer mode."""
+    with pytest.raises(ValueError, match="atomic rename"):
+        fs_for("s3a://bucket/table")
+    with pytest.raises(ValueError, match="atomic rename"):
+        fs_for("gs://bucket/table")

@@ -193,7 +193,17 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
     bits = max(int(vmax - vmin).bit_length(), 1)
     bitpack_bound = pageformat.HEADER_SIZE + (len(values) * bits + 7) // 8
     if len(payload) + pageformat.HEADER_SIZE < 0.9 * bitpack_bound:
-        return pageformat.wrap_grouped(payload, len(values))
+        # the bitpack bound ignores single-page dict wins: a mixed chunk
+        # (several doc classes) whose GLOBAL stream has low cardinality
+        # could still be smaller as one dict page. Guard with a strided
+        # 4k-value sample — only commit to grouped without the full
+        # estimate when the sample looks high-cardinality (dict
+        # implausible). Residual caveat: a strided sample cannot see
+        # run structure, so a globally RLE-shaped mixed chunk may still
+        # take a (correct but larger) grouped encoding.
+        sample = values[::max(1, len(values) // 4096)]
+        if len(np.unique(sample)) > len(sample) // 4:
+            return pageformat.wrap_grouped(payload, len(values))
     single_est = pageformat.HEADER_SIZE + _single_page_estimate(values)
     if len(payload) + pageformat.HEADER_SIZE >= single_est:
         return pageformat.encode_int_page(values, pageformat.KIND_INT32)

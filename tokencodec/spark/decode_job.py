@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tokencodec import pageformat
 from tokencodec.spark.encode_job import read_pages
+from tokencodec.spark.table import SnapshotTable
 
 ALL_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
 _COL_PAGE = {"doc_id": "page_doc_id", "tokens": "page_tokens",
@@ -53,8 +54,12 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, memoryview]:
         col = col.combine_chunks()
     odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     bufs = col.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt, count=len(col) + 1 + col.offset)
-    off = off[col.offset:col.offset + len(col) + 1]
+    if bufs[1] is None:
+        # Arrow permits a null offsets buffer on zero-length arrays
+        off = np.zeros(1, dtype=odt)
+    else:
+        off = np.frombuffer(bufs[1], dtype=odt, count=len(col) + 1 + col.offset)
+        off = off[col.offset:col.offset + len(col) + 1]
     # cast('B'): an arrow Buffer's memoryview is signed ('b'), and the
     # page parsers index bytes expecting unsigned semantics
     data = (memoryview(bufs[2]).cast("B") if bufs[2] is not None
@@ -104,6 +109,8 @@ def make_decode_batches(packed: bool = False, cols: list[str] | None = None):
 
     def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
+            if batch.num_rows == 0:
+                continue
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             # zero-copy page access: slice memoryviews out of the binary
             # columns instead of .as_py() copies
@@ -129,6 +136,29 @@ def _out_ddl(cols: list[str], packed: bool) -> str:
     types = {"doc_id": "string", "n_tok": "int", "source": "string",
              "tokens": "binary" if packed else "array<int>"}
     return ", ".join(f"{c} {types[c]}" for c in cols)
+
+
+def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | None:
+    """Max doc_parts over every commit in the snapshot chain, read from
+    manifest JSON only (no Spark job). Returns None when any commit in
+    the chain predates the max_doc_parts metric — callers then probe."""
+    tbl = SnapshotTable(root)
+    snap = (tbl.current_snapshot() if snapshot_id is None
+            else tbl.snapshot(snapshot_id))
+    if snap is None:
+        return None
+    target = snap["snapshot_id"]
+    best = 0
+    # commits are linear (parent = sid-1), so the chain of the target
+    # snapshot is exactly the snapshots with id <= target
+    for s in tbl.snapshots():
+        if s["snapshot_id"] > target:
+            continue
+        m = s.get("metrics", {})
+        if "max_doc_parts" not in m:
+            return None
+        best = max(best, int(m["max_doc_parts"]))
+    return best
 
 
 def decode(spark: SparkSession, root: str,
@@ -183,10 +213,15 @@ def decode(spark: SparkSession, root: str,
         # pre-split_uid tables: decode-side coalesce with doc_id (below)
         # reproduces the legacy grouping
         pages = pages.withColumn("split_uid", F.lit(None).cast("string"))
-    # cheap metadata probe (columnar scan of one small column): skip the
-    # reassembly aggregate entirely when no document was split
-    max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
-                 if has_parts else 1)
+    # zero-job planning: encode commits record max_doc_parts in snapshot
+    # metrics, so the reassembly branch is decided from the manifest
+    # alone — building a decode plan over a 100-TB table must not run a
+    # metadata scan job. Legacy tables (commits predating the metric)
+    # fall back to a one-column probe job.
+    max_parts = _max_doc_parts_from_manifest(root, snapshot_id)
+    if max_parts is None:
+        max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
+                     if has_parts else 1)
     any_split = bool(max_parts and max_parts > 1)
     # column pruning down to the PAGE level: only requested columns'
     # binary pages (+ part markers) cross the Arrow boundary

@@ -328,22 +328,34 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     wall = time.time() - t0
     for g in remaining:
         gdir = group_dirs[g]
-        if not tbl.fs.exists(gdir):
-            # group had zero rows: commit an empty path list so resume
-            # knows it is done
-            tbl.commit({f"g{g}": []}, metrics={"n_chunks": 0, "n_rows": 0,
-                                               "n_tokens": 0, "scheme": scheme})
+        # a group with zero rows may leave no dir (partitionBy) or a dir
+        # with only _SUCCESS (commit_groups=1): either way there is no
+        # parquet to aggregate — commit an empty path list so resume
+        # knows the group is done and readers see a valid empty table
+        if not _has_parquet(tbl.fs, gdir):
+            tbl.commit({f"g{g}": []}, metrics={
+                "n_chunks": 0, "n_rows": 0, "n_tokens": 0,
+                "max_doc_parts": 0, "scheme": scheme})
             continue
         m = spark.read.parquet(gdir).agg(
             F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
             F.sum("n_tokens").alias("n_tokens"), F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes")).collect()[0].asDict()
+            F.sum("enc_bytes").alias("enc_bytes"),
+            # recorded so decode() can plan the reassembly branch without
+            # running a metadata probe job (zero-job plan construction)
+            F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
         m = {k: int(v or 0) for k, v in m.items()}
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
         m["scheme"] = scheme
         tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
+
+
+def _has_parquet(fs, d: str) -> bool:
+    if not fs.exists(d):
+        return False
+    return any(n.endswith(".parquet") for n in fs.listdir(d))
 
 
 # --------------------------------------------------------------- fast source
@@ -437,11 +449,17 @@ def read_pages(spark: SparkSession, root: str,
     travel: snapshots are immutable, so any historical table state
     stays readable until its files are garbage-collected)."""
     tbl = SnapshotTable(root)
-    paths = tbl.data_paths(snapshot_id)
-    if not paths:
+    # distinguish "never committed" (an error) from "validly committed
+    # empty table" (all groups empty — a legal state a resumed job must
+    # be able to read): tbl.snapshot() raises on unknown snapshot_id
+    snap = tbl.current_snapshot() if snapshot_id is None else tbl.snapshot(snapshot_id)
+    if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    # mergeSchema: runs written by different engine versions may carry
-    # different lineage columns (doc_part/split_uid additions); the
-    # union schema must surface them all, not whichever file Spark
-    # samples first
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    paths = [p for ps in snap["groups"].values() for p in ps]
+    if not paths:
+        return spark.createDataFrame([], PAGES_DDL)
+    # explicit schema (the union of every engine version's columns):
+    # files written before a lineage column existed surface it as NULL —
+    # the same result mergeSchema inference would produce, but with zero
+    # footer reads / schema-merge jobs at plan-construction time
+    return spark.read.schema(PAGES_DDL).parquet(*paths)

@@ -106,11 +106,25 @@ class HadoopFS:
     def create_excl(self, path: str, text: str) -> None:
         # FileSystem.create(overwrite=false) raises if the file exists;
         # translate to the interface's FileExistsError so commit-race
-        # handling is backend-independent
+        # handling is backend-independent. Classify by the Java exception
+        # CLASS, not message substrings — messages are locale/impl
+        # dependent and a cause chain can mention 'already exists' for
+        # unrelated reasons.
         try:
             self._write(path, text, False)
-        except Exception as e:  # py4j wraps FileAlreadyExistsException
-            if "AlreadyExists" in str(e) or "already exists" in str(e):
+        except Exception as e:  # py4j wraps the Java exception
+            je = getattr(e, "java_exception", None)
+            names = []
+            cur = je
+            while cur is not None:
+                try:
+                    names.append(cur.getClass().getName())
+                    cur = cur.getCause()
+                except Exception:
+                    break
+            if any("AlreadyExists" in n for n in names) or (
+                    je is None and ("AlreadyExists" in str(e)
+                                    or "already exists" in str(e))):
                 raise FileExistsError(path) from e
             raise
 
@@ -134,8 +148,23 @@ class HadoopFS:
                 for st in self._fs.listStatus(self._p(path))]
 
 
-def fs_for(root: str):
+# Schemes whose Hadoop FileSystem lacks atomic rename AND atomic
+# create-exclusive: S3A's create(overwrite=false) is check-then-create
+# and its rename is copy+delete, so neither the snapshot claim nor the
+# CURRENT pointer swap is safe against concurrent committers there.
+# These stores need a real catalog (Iceberg/Glue/DynamoDB-style) in
+# front of the manifest directory.
+RENAME_UNSAFE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss"})
+
+
+def fs_for(root: str, allow_unsafe: bool = False):
     scheme = root.split("://", 1)[0] if "://" in root else ""
     if scheme in ("", "file"):
         return LocalFS()
+    if scheme in RENAME_UNSAFE_SCHEMES and not allow_unsafe:
+        raise ValueError(
+            f"manifest root scheme '{scheme}://' has no atomic rename / "
+            "create-exclusive, so optimistic-concurrency commits are unsafe "
+            "there; put the manifest dir on HDFS or behind a catalog, or "
+            "pass allow_unsafe=True (single-writer deployments only)")
     return HadoopFS(root)

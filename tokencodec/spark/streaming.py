@@ -45,7 +45,15 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
         run_dir = tbl.new_run_dir()
         pages.write.mode("overwrite").parquet(run_dir)
-        tbl.commit({key: [run_dir]}, metrics={"batch_id": batch_id})
+        from pyspark.sql import functions as F
+        m = spark.read.parquet(run_dir).agg(
+            F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            # mirrors batch encode: lets decode() plan without a probe job
+            F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
+        m = {k: int(v or 0) for k, v in m.items()}
+        m["batch_id"] = batch_id
+        tbl.commit({key: [run_dir]}, metrics=m)
 
     stream = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
               .writeStream.foreachBatch(sink)
