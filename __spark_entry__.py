@@ -87,6 +87,19 @@ def q_engine_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, missing bigint, extra bigint, ok boolean")
 
 
+# the audit's CONTRACT is a constant DuckDB can state: the comparison
+# itself stays engine-side, but a wrong row count / any diff / a false
+# verdict now hash-mismatches under the driver's check
+SQL_ENGINE_ROUNDTRIP_AUDIT = """
+SELECT CAST(4 * count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra,
+       true AS ok
+FROM documents
+"""
+
+
+
+
 # --- documents-derived token table: the bridge that lets DuckDB vouch for
 # the engine itself. Tokens are a pure SQL-expressible function of the
 # `documents` testdata (ascii/length/position of each word), so the
@@ -130,6 +143,30 @@ def _docs_root(spark: SparkSession, sf_dir: str) -> str:
                           commit_groups=2, max_chunk_tokens=64)
         _ENGINE_CACHE[root] = root
     return root
+
+
+def q_engine_encode_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible half of the encode metrics, computed over
+    the documents-derived token table: doc/token totals recorded in the
+    chunk metadata must reconcile with source truth, and the chunk-budget
+    contract (no chunk over this root's 64-token budget) must hold.
+    Byte sizes stay in engine_encode_metrics (rows-only: engine-internal)."""
+    from tokencodec.spark import encode_job
+    pages = encode_job.read_pages(spark, _docs_root(spark, sf_dir))
+    return pages.agg(
+        F.sum(F.when(F.col("doc_part") == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.bool_and(F.col("n_tokens") <= 64).alias("chunk_budget_ok"))
+
+
+SQL_ENGINE_ENCODE_METRICS_DOCS = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       true AS chunk_budget_ok
+FROM t
+"""
 
 
 def q_engine_decode_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1341,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_encode_metrics": q_engine_encode_metrics,
+        "engine_encode_metrics_docs": q_engine_encode_metrics_docs,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
         "engine_decode_rows": q_engine_decode_rows,
         "engine_decode_projection": q_engine_decode_projection,
@@ -1346,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "engine_encode_metrics_docs": SQL_ENGINE_ENCODE_METRICS_DOCS,
+        "engine_roundtrip_audit": SQL_ENGINE_ROUNDTRIP_AUDIT,
         "engine_decode_rows": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,
@@ -1382,10 +1422,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         # remaining rows-only entries: engine_encode_metrics (encoded
-        # byte sizes are engine-internal) and engine_roundtrip_audit +
-        # engine_nested_roundtrip (binary page payloads). Everything
-        # else — including the engine's decode/lineage/fsck/stream
-        # paths (via the documents-derived token table), ivf_assign
-        # (integer-quantized centroids) and schema_flatten (DESCRIBE
-        # mapping) — is oracle-verified.
+        # byte sizes are engine-internal; its oracle-expressible half is
+        # engine_encode_metrics_docs) and engine_nested_roundtrip
+        # (binary page payloads). Everything else — including the
+        # engine's decode/lineage/fsck/stream/audit paths (via the
+        # documents-derived token table), ivf_assign (integer-quantized
+        # centroids) and schema_flatten (DESCRIBE mapping) — is
+        # oracle-verified.
     }
