@@ -373,27 +373,56 @@ PACKED_DDL = "doc_id string, tokens binary, n_tok int, source string"
 _MAX_BLOB_BYTES = (1 << 31) - 1  # pa.binary() has int32 offsets
 
 
-def parquet_splits(src_dir: str) -> list[tuple[str, int]]:
-    import glob
-
+def _open_parquet(path: str):
+    """pq.ParquetFile over any pyarrow-resolvable source: plain local
+    paths, or URIs (file://, s3://, hdfs:// with libhdfs, ...) routed
+    through pyarrow's C++ filesystem layer — the fast source's analog of
+    the reference's any-offset-addressable-source reader
+    (/root/reference/src/Parquet/Reader.hs:216-248)."""
     import pyarrow.parquet as pq
+    if "://" in path:
+        from pyarrow import fs as pafs
+        f, p = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(f.open_input_file(p))
+    return pq.ParquetFile(path)
+
+
+def _list_parquet(src_dir: str) -> list[str]:
+    """*.parquet files directly under ``src_dir`` (path or URI), each
+    returned in the same addressing form the caller used — URIs keep
+    their scheme and authority so workers can re-resolve them."""
+    if "://" in src_dir:
+        from pyarrow import fs as pafs
+        f, base = pafs.FileSystem.from_uri(src_dir)
+        names = sorted(
+            info.path.rsplit("/", 1)[-1]
+            for info in f.get_file_info(pafs.FileSelector(base))
+            if info.type == pafs.FileType.File and info.path.endswith(".parquet"))
+        return [src_dir.rstrip("/") + "/" + n for n in names]
+    import glob
+    return sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+
+
+def parquet_splits(src_dir: str,
+                   return_rows: bool = False):
     splits: list[tuple[str, int]] = []
-    for path in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
-        md = pq.ParquetFile(path).metadata
+    n_rows = 0
+    for path in _list_parquet(src_dir):
+        md = _open_parquet(path).metadata
+        n_rows += md.num_rows
         splits.extend((path, rg) for rg in range(md.num_row_groups))
     if not splits:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
-    return splits
+    return (splits, n_rows) if return_rows else splits
 
 
 def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    import pyarrow.parquet as pq
     max_blob = _MAX_BLOB_BYTES
     for batch in it:
         paths = batch.column(0).to_pylist()
         rgs = batch.column(1).to_pylist()
         for path, rg in zip(paths, rgs):
-            tbl = pq.ParquetFile(path).read_row_group(
+            tbl = _open_parquet(path).read_row_group(
                 rg, columns=["doc_id", "tokens", "n_tok", "source"])
             tokens = tbl.column("tokens").combine_chunks()
             t_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -425,22 +454,24 @@ def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 lo = hi
 
 
-def pack_source(spark: SparkSession, src_dir: str) -> DataFrame:
+def pack_source(spark: SparkSession, src_dir: str,
+                splits: list[tuple[str, int]] | None = None) -> DataFrame:
     """Token table as (doc_id, tokens BINARY, n_tok, source) read by
-    pyarrow inside workers — the fast transport for encode()."""
-    splits = parquet_splits(src_dir)
+    pyarrow inside workers — the fast transport for encode(). Reads any
+    pyarrow-resolvable source (local path or file://, s3://, ... URI)."""
+    if splits is None:
+        splits = parquet_splits(src_dir)
     sdf = spark.createDataFrame(splits, "path string, rg int").repartition(len(splits))
     return sdf.mapInArrow(_read_and_pack, PACKED_DDL)
 
 
 def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
                         **kw) -> DataFrame:
-    """encode() over a parquet directory via the fast file-split source."""
-    import pyarrow.parquet as pq
-    n_rows = sum(pq.ParquetFile(p).metadata.num_rows
-                 for p, rg in parquet_splits(src_dir) if rg == 0)
+    """encode() over a parquet directory via the fast file-split source;
+    one footer pass discovers splits AND the row count for salting."""
+    splits, n_rows = parquet_splits(src_dir, return_rows=True)
     kw.setdefault("n_salts", part.salts_for(n_rows))
-    return encode(spark, pack_source(spark, src_dir), out_root, **kw)
+    return encode(spark, pack_source(spark, src_dir, splits), out_root, **kw)
 
 
 def read_pages(spark: SparkSession, root: str,
