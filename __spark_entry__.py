@@ -253,6 +253,7 @@ def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ([[]], [6]),
     ] * 50
     st = pa.struct([("a", pa.list_(pa.int64())), ("b", pa.int64())])
+    st_is = pa.struct([("id", pa.int64()), ("name", pa.string())])
     fixtures = [
         ("f1", pa.array([r[0] for r in rows], pa.list_(pa.list_(pa.int64())))),
         ("f2", pa.array([r[1] for r in rows], pa.list_(pa.int64()))),
@@ -260,6 +261,17 @@ def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"a": r[1], "b": i} if r[0] is not None else None
              for i, r in enumerate(rows)], st)),
         ("f4_large", pa.array([r[1] for r in rows], pa.large_list(pa.int64()))),
+        # BYTE_ARRAY leaves (reference decodeValue parity): strings in a
+        # struct and inside lists, with nulls at both levels
+        ("f5_struct_str", pa.array(
+            [{"id": i, "name": f"doc-{i}" if i % 3 else None}
+             if i % 7 else None for i in range(len(rows))], st_is)),
+        ("f6_list_str", pa.array(
+            [[f"w{i}", None, ""] if i % 4 else None for i in range(len(rows))],
+            pa.list_(pa.string()))),
+        ("f7_bool", pa.array(
+            [[True, None, False] if i % 2 else None for i in range(len(rows))],
+            pa.list_(pa.bool_()))),
     ]
     out = []
     for name, arr in fixtures:

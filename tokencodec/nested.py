@@ -26,7 +26,16 @@ Layout (envelope codec NESTED, kind INT64) — a recursive node tree:
         kind 2 (large_list):  sub(validity) sub(lengths) node(child)
         kind 3 (struct):      sub(validity) u8 n_children
                               { u16 name_len | name utf8 | node(child) }*
-    sub  := u32 len | int page
+        kind 4-7 (leaf string | large_string | binary | large_binary):
+                              sub(validity) sub(string page)
+        kind 8 (leaf bool):   sub(validity) sub(values 0/1)
+    sub  := u32 len | int page (or string page for kinds 4-7)
+
+String/binary leaves reuse the flat string-page layout (dict/FSST/plain
+auto-selection, pageformat.encode_string_page) — BYTE_ARRAY-anywhere
+parity with the reference's decodeValue
+(/root/reference/src/Parquet/Stream/Reader.hs:190-209) and its object
+assembly of string fields (ParquetObject.hs:54-62).
 """
 
 from __future__ import annotations
@@ -42,6 +51,9 @@ NESTED_CODEC = 10
 codecs.CODEC_NAMES.setdefault(NESTED_CODEC, "nested")
 
 _LEAF, _LIST, _LARGE_LIST, _STRUCT = 0, 1, 2, 3
+_STR, _LARGE_STR, _BIN, _LARGE_BIN, _BOOL = 4, 5, 6, 7, 8
+_BYTES_KIND = {_STR: pa.string(), _LARGE_STR: pa.large_string(),
+               _BIN: pa.binary(), _LARGE_BIN: pa.large_binary()}
 
 
 def _gather_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -88,6 +100,24 @@ def _encode_node(arr: pa.Array, parts: list[bytes]) -> None:
         vals = (np.asarray(arr.fill_null(0), dtype=np.int64) if len(arr)
                 else np.zeros(0, np.int64))
         parts.append(_enc_ints(vals))
+    elif (pa.types.is_string(t) or pa.types.is_large_string(t)
+          or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        kind = {pa.string(): _STR, pa.large_string(): _LARGE_STR,
+                pa.binary(): _BIN, pa.large_binary(): _LARGE_BIN}[t]
+        parts.append(bytes([kind]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        if len(arr):
+            fill = "" if kind in (_STR, _LARGE_STR) else b""
+            off, data = pageformat._arrow_str_buffers(arr.fill_null(fill))
+        else:
+            off, data = np.zeros(1, np.int64), np.zeros(0, np.uint8)
+        parts.append(_sub(pageformat.encode_string_page(off, data)))
+    elif pa.types.is_boolean(t):
+        parts.append(bytes([_BOOL]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        vals = (np.asarray(arr.fill_null(False)) if len(arr)
+                else np.zeros(0, bool))
+        parts.append(_enc_ints(vals.astype(np.int64), pageformat.KIND_INT32))
     else:
         raise ValueError(f"unsupported nested leaf/inner type: {t}")
 
@@ -155,6 +185,24 @@ def _decode_node(mv: memoryview, p: int) -> tuple[pa.Array, int]:
         arr = pa.Array.from_buffers(
             pa.int64(), len(vals),
             [_validity_buffer(valid), pa.py_buffer(vals)])
+        return arr, p
+    if kind in _BYTES_KIND:
+        (ln,) = struct.unpack_from("<I", mv, p)
+        off, data = pageformat.decode_string_page(mv[p + 4:p + 4 + ln])
+        p += 4 + ln
+        typ = _BYTES_KIND[kind]
+        large = kind in (_LARGE_STR, _LARGE_BIN)
+        off_buf = pa.py_buffer(off if large else off.astype(np.int32))
+        arr = pa.Array.from_buffers(
+            typ, len(off) - 1,
+            [_validity_buffer(valid), off_buf, pa.py_buffer(data)])
+        return arr, p
+    if kind == _BOOL:
+        vals, p = take(p)
+        bits = np.packbits(vals.astype(np.uint8), bitorder="little")
+        arr = pa.Array.from_buffers(
+            pa.bool_(), len(vals),
+            [_validity_buffer(valid), pa.py_buffer(bits)])
         return arr, p
     raise ValueError(f"unknown nested node kind {kind}")
 
