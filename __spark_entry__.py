@@ -850,40 +850,69 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             .orderBy("id_a", "id_b"))
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str,
-                     threshold: float = 0.9, max_iter: int = 20) -> DataFrame:
-    """Near-dup clustering: LSH candidate pairs with exact Jaccard >=
-    threshold become edges; connected components assign every doc to the
-    min-doc_id of its component (the canonical "keeper"). Components are
-    computed with iterative min-label propagation — each round is one
-    join + one aggregate (all key-partitioned shuffles, no global
-    ordering), converging in O(component diameter) rounds with an
-    early-exit when a round changes nothing; `localCheckpoint` truncates
-    the growing lineage. At 100 TB scale the same loop applies after
-    large-star/small-star edge contraction; the driver-visible result is
-    the cluster size histogram + keeper ids."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= threshold)
-    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-             .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-             .localCheckpoint(eager=True))
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        msgs = (edges.join(labels, edges.a == labels.doc_id)
-                .select(F.col("b").alias("doc_id"), "label"))
-        new = (labels.unionByName(msgs)
-               .groupBy("doc_id").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        n_changed = (new.join(labels.withColumnRenamed("label", "old"), "doc_id")
-                     .filter(F.col("label") != F.col("old")).count())
-        labels = new
-        if n_changed == 0:
+def _cc_star(nodes: DataFrame, pairs: DataFrame,
+             max_rounds: int = 30) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", ACM SoCC 2014 — public algorithm): converges in O(log n)
+    rounds on ANY component diameter, unlike plain min-label propagation
+    whose round count is the diameter itself. Each round is two
+    key-partitioned groupBy+join shuffles over the edge list; no global
+    ordering anywhere. Returns (labels[node,label], rounds_used).
+
+    large-star: every node attaches its LARGER neighbors to the minimum
+    of its neighborhood (flattens deep branches); small-star: every node
+    attaches its smaller neighbors (and itself) to its minimum neighbor
+    (contracts the remaining short hops). At the joint fixpoint every
+    component is a star rooted at its minimum node."""
+    cur = (pairs.select(F.greatest("id_a", "id_b").alias("a"),
+                        F.least("id_a", "id_b").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct().localCheckpoint(eager=True))
+    prev_sig, rounds = None, 0
+    for rounds in range(1, max_rounds + 1):
+        bi = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = bi.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m"))
+        ls = (bi.filter(F.col("b") > F.col("a")).join(mins, "a")
+              .select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .distinct())
+        m2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        j = ls.join(m2, "a")
+        ss = (j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .union(j.select("a", F.col("m").alias("b")))
+              .filter(F.col("a") != F.col("b"))
+              .distinct().localCheckpoint(eager=True))
+        sig = tuple(ss.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).collect()[0])
+        cur = ss
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds "
-            f"({n_changed} labels still changing) — component diameter "
-            "exceeds max_iter; raise it or contract edges first")
+            f"star contraction did not converge in {max_rounds} rounds — "
+            "O(log n) bound exceeded; the edge list is likely being "
+            "mutated between rounds")
+    # fixpoint: every edge points at its component root
+    lab = cur.groupBy("a").agg(F.min("b").alias("lbl"))
+    labels = (nodes.join(lab, nodes["node"] == lab["a"], "left")
+              .select("node", F.coalesce("lbl", "node").alias("label")))
+    return labels, rounds
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.9) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs with exact Jaccard >=
+    threshold become edges; connected components assign every doc to the
+    min-doc_id of its component (the canonical "keeper"). Components use
+    large-star/small-star contraction (_cc_star) — O(log n) rounds even
+    for high-diameter chains, the named 100-TB-safe algorithm — and the
+    driver-visible result is the cluster size histogram + keeper ids."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+    labels, _ = _cc_star(d, pairs)
     return (labels.groupBy(F.col("label").alias("cluster"))
             .agg(F.count("*").alias("n_docs"))
             .orderBy("cluster"))
