@@ -49,19 +49,26 @@ def test_knn_topk_plan_has_no_global_window(spark):
 
 
 def test_rle_runs_plan_is_distributed(spark):
-    """Run detection must happen inside mapInArrow per range partition;
-    the only Sort feeding a Window operates on the boundary-run
-    metadata, never on the raw lineitem rows."""
+    """Every Window touching raw lineitem rows must be PARTITIONED (by
+    the explicit order-preserving bucket), so per-task sorts stay
+    bounded; only the boundary-run metadata (post-aggregate, <= 2 rows
+    per bucket) may cross an unpartitioned global-order Window. Also:
+    no Python stage — the whole query is JVM/codegen."""
     import re
     import __spark_entry__ as entrymod
     df = entrymod.q_rle_runs_returnflag(spark, "/root/testdata/sf0.001")
     plan = _formatted(df, spark)
-    assert re.search(r"(MapInArrow|ArrowEvalPython|PythonMapInArrow)", plan), plan[:3000]
-    # the full-table columns never reach a Window operator
-    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "Arguments" not in ln]
-    assert win_lines, "expected the tiny boundary-merge Window"
-    assert "l_orderkey" not in " ".join(
-        ln for ln in plan.splitlines() if "Window" in ln), "raw keys inside Window"
+    assert not re.search(r"(MapInArrow|ArrowEvalPython|BatchEvalPython)", plan), \
+        "unexpected Python stage (the JVM->Arrow hop costs more than the query)"
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected Window operators"
+    for spec in specs:
+        if "l_extendedprice" in spec:  # raw row data inside this window
+            assert re.match(r"windowspecdefinition\(bkt#\d+, ", spec), \
+                f"unpartitioned Window over raw rows: {spec}"
+    # the stitch window exists and orders only bucket/run metadata
+    stitch = [sp for sp in specs if "l_extendedprice" not in sp]
+    assert stitch and all("rid#" in sp or "bkt#" in sp for sp in stitch), stitch
 
 
 def test_decode_packed_plan_prunes_columns(spark, tmp_path):
