@@ -404,16 +404,21 @@ def _list_parquet(src_dir: str) -> list[str]:
 
 
 def parquet_splits(src_dir: str,
-                   return_rows: bool = False):
+                   return_stats: bool = False):
+    """(file, row-group) splits; with return_stats also the total row
+    count and uncompressed byte size from the footers (one footer pass)."""
     splits: list[tuple[str, int]] = []
     n_rows = 0
+    n_bytes = 0
     for path in _list_parquet(src_dir):
         md = _open_parquet(path).metadata
         n_rows += md.num_rows
-        splits.extend((path, rg) for rg in range(md.num_row_groups))
+        for rg in range(md.num_row_groups):
+            splits.append((path, rg))
+            n_bytes += md.row_group(rg).total_byte_size
     if not splits:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
-    return (splits, n_rows) if return_rows else splits
+    return (splits, n_rows, n_bytes) if return_stats else splits
 
 
 def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -465,12 +470,23 @@ def pack_source(spark: SparkSession, src_dir: str,
     return sdf.mapInArrow(_read_and_pack, PACKED_DDL)
 
 
+# target uncompressed bytes per encode task: large enough to amortize
+# the per-task JVM->Python handoff (measured at sf0.1/local[32]: 32
+# tasks = 1.5s vs 128 tasks = 2.1-5s, identical output bytes), small
+# enough that per-partition sorts never spill at 100 TB (a fixed
+# tasks-per-core multiplier would give 3 GB partitions there)
+TARGET_TASK_BYTES = 32 << 20
+
+
 def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
                         **kw) -> DataFrame:
     """encode() over a parquet directory via the fast file-split source;
-    one footer pass discovers splits AND the row count for salting."""
-    splits, n_rows = parquet_splits(src_dir, return_rows=True)
+    one footer pass discovers splits, the row count for salting, and the
+    byte size for task sizing."""
+    splits, n_rows, n_bytes = parquet_splits(src_dir, return_stats=True)
     kw.setdefault("n_salts", part.salts_for(n_rows))
+    kw.setdefault("partitions", max(spark.sparkContext.defaultParallelism,
+                                    n_bytes // TARGET_TASK_BYTES))
     return encode(spark, pack_source(spark, src_dir, splits), out_root, **kw)
 
 
