@@ -5,8 +5,12 @@ deterministic synthetic token table (BASELINE.json input_hint schema)
 and returns per-codec metrics.
 
 `queries()` exposes every implemented operator family (SURVEY.md §2):
-  engine_*      the compression engine itself (rows-only checks: binary
-                page formats are not SQL-expressible)
+  engine_*      the compression engine itself — decode/lineage/fsck/
+                stream/audit run over a documents-derived token table
+                (tokens = a SQL function of the words), so DuckDB
+                hash-verifies the engine's output without touching it;
+                only raw encoded byte sizes and the nested binary
+                format stay rows-only
   codec analogs dictionary / RLE runs / frame-of-reference / delta /
                 bit-width / varint-size / codec-selection expressed
                 relationally, with exact DuckDB oracles

@@ -1,0 +1,96 @@
+"""Compaction + snapshot expiry: decoded rows must be bit-identical
+across a rewrite, time travel must keep working until expired, and the
+garbage collector must only touch superseded files."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tokencodec.spark import decode_job, encode_job, maintenance, synth
+from tokencodec.spark.table import SnapshotTable
+
+
+def _encode_small_chunks(spark, root, n_rows=300, max_chunk_tokens=2000):
+    df = synth.token_table(spark, n_rows, seed=21)
+    encode_job.encode(spark, df, root, commit_groups=2,
+                      max_chunk_tokens=max_chunk_tokens)
+    return df
+
+
+def test_compact_preserves_rows_and_reduces_chunks(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _encode_small_chunks(spark, root)
+    before = encode_job.read_pages(spark, root)
+    n_before = before.count()
+    pre_snap = SnapshotTable(root).current_snapshot()["snapshot_id"]
+
+    snap = maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    assert snap["snapshot_id"] == pre_snap + 1
+    after = encode_job.read_pages(spark, root)
+    n_after = after.count()
+    assert n_after < n_before, (n_after, n_before)
+
+    # decoded rows bit-identical to the source (the audit invariant)
+    res = decode_job.audit(df, decode_job.decode(spark, root), strict=True)
+    assert res == {"missing": 0, "extra": 0, "ok": True}
+
+    # time travel to the pre-compact layout still decodes identically
+    old = decode_job.decode(spark, root, snapshot_id=pre_snap)
+    assert decode_job.audit(df, old)["ok"]
+
+
+def test_compact_leaves_split_docs_and_full_chunks_alone(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 120, seed=5)
+    # tiny budget: forces doc splitting (doc_parts > 1 chunks exist)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=64)
+    pages = encode_job.read_pages(spark, root)
+    assert pages.filter("doc_parts > 1").count() > 0
+
+    maintenance.compact(spark, root, max_chunk_tokens=4096)
+    after = encode_job.read_pages(spark, root)
+    # split parts passed through byte-identical (same uids)
+    split_before = {r.chunk_uid for r in pages.filter("doc_parts > 1")
+                    .select("chunk_uid").collect()}
+    split_after = {r.chunk_uid for r in after.filter("doc_parts > 1")
+                   .select("chunk_uid").collect()}
+    assert split_before == split_after
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+
+
+def test_compact_noop_when_nothing_mergeable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 50, seed=9)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=64)
+    sid = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    # budget 64: every whole chunk is >= budget//2 = 32 tokens (docs are
+    # longer than that), so nothing qualifies for merging
+    snap = maintenance.compact(spark, root, max_chunk_tokens=64)
+    assert snap["snapshot_id"] == sid  # no new snapshot
+
+
+def test_expire_snapshots_deletes_only_superseded_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _encode_small_chunks(spark, root)
+    pre_snap = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+
+    res = maintenance.expire_snapshots(root, keep_last=1)
+    assert res["expired_snapshots"] >= 1
+    assert res["deleted_dirs"] >= 1
+
+    # current snapshot still fully readable and bit-identical
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # the expired snapshot is gone: time travel now fails loudly
+    with pytest.raises(FileNotFoundError):
+        decode_job.decode(spark, root, snapshot_id=pre_snap)
+
+
+def test_expire_keeps_everything_when_window_covers_all(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _encode_small_chunks(spark, root)
+    res = maintenance.expire_snapshots(root, keep_last=10)
+    assert res == {"expired_snapshots": 0, "deleted_dirs": 0}

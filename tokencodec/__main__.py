@@ -54,7 +54,25 @@ def main(argv: list[str] | None = None) -> int:
     snaps = sub.add_parser("snapshots", help="list committed snapshots")
     snaps.add_argument("root")
 
+    cmp_ = sub.add_parser(
+        "compact",
+        help="rewrite under-filled chunks into budget-filled ones "
+             "(replace-commit; decoded rows are unchanged)")
+    cmp_.add_argument("root")
+    cmp_.add_argument("--max-chunk-tokens", type=int, default=1 << 20)
+
+    exp = sub.add_parser(
+        "expire-snapshots",
+        help="drop old snapshot manifests and delete files only they reference")
+    exp.add_argument("root")
+    exp.add_argument("--keep-last", type=int, default=2)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "expire-snapshots":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import expire_snapshots
+        print(json.dumps(expire_snapshots(args.root, keep_last=args.keep_last)))
+        return 0
 
     if args.cmd == "snapshots":  # no Spark needed
         from tokencodec.spark.table import SnapshotTable
@@ -99,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
                 strict=args.strict)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        elif args.cmd == "compact":
+            from tokencodec.spark import maintenance
+            snap = maintenance.compact(spark, args.root,
+                                       max_chunk_tokens=args.max_chunk_tokens)
+            print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                              "metrics": snap.get("metrics", {})}))
         elif args.cmd == "fsck":
             from pyspark.sql import functions as F
             from tokencodec.spark import fsck

@@ -59,13 +59,24 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
         return False, f"{type(e).__name__}: {e}", checked
 
 
+_PAGE_COLS = ("page_tokens", "page_doc_id", "page_n_tok", "page_source")
+
+
 def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from tokencodec.spark.decode_job import _binary_views
     for batch in it:
+        if batch.num_rows == 0:
+            continue
         idx = {n: i for i, n in enumerate(batch.schema.names)}
         cols = {n: batch.column(idx[n]) for n in _COLS}
+        # zero-copy page access: memoryview slices into the binary
+        # columns; .as_py() would copy every page's bytes per row
+        views = {n: _binary_views(cols[n]) for n in _PAGE_COLS}
         rows_ok, errs, nrows, ntoks, uids, checked = [], [], [], [], [], []
         for r in range(batch.num_rows):
-            row = {n: cols[n][r].as_py() for n in _COLS}
+            row = {n: cols[n][r].as_py() for n in _COLS if n not in _PAGE_COLS}
+            for n, (off, data) in views.items():
+                row[n] = data[off[r]:off[r + 1]]
             ok, err, chk = _check_chunk(row)
             uids.append(row["chunk_uid"])
             rows_ok.append(ok)

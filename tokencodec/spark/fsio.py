@@ -60,6 +60,16 @@ class LocalFS:
     def listdir(self, path: str) -> list[str]:
         return os.listdir(self._p(path))
 
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = self._p(path)
+        if os.path.isdir(p):
+            if not recursive:
+                raise IsADirectoryError(path)
+            import shutil
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
 
 class HadoopFS:
     """Any Hadoop-resolvable scheme via the active SparkSession's JVM."""
@@ -146,6 +156,9 @@ class HadoopFS:
     def listdir(self, path: str) -> list[str]:
         return [st.getPath().getName()
                 for st in self._fs.listStatus(self._p(path))]
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._p(path), recursive)
 
 
 # Schemes whose Hadoop FileSystem lacks atomic rename AND atomic

@@ -1,0 +1,189 @@
+"""Table maintenance: chunk compaction and snapshot expiry.
+
+The reference is a read-only decoder; these are the Iceberg-style
+maintenance operations a 10^12-sequence table accumulates a need for —
+streaming micro-batches and small resume groups leave under-filled
+chunks, and every compaction/commit leaves superseded files behind.
+
+``compact`` is "rewrite data files": within each (bucket, salt) run of
+committed chunks, consecutive under-filled whole-document chunks (below
+half the token budget) are decoded, concatenated in chunk_seq order,
+and re-encoded as budget-filled chunks; full chunks and split-document
+parts pass through untouched (their bytes are copied, not re-encoded).
+The result replaces the group's data paths in a new snapshot — decoded
+rows are bit-identical before and after (tests assert via the audit
+signature), only the physical chunk layout changes. Merge-group
+assignment is a running-sum window PARTITIONED by (bucket, salt), and
+re-encoding is one mapInArrow pass over chunks co-partitioned by merge
+group — no global ordering, no driver-side chunk list.
+
+``expire_snapshots`` drops manifests older than the last N snapshots
+and deletes run directories referenced ONLY by expired snapshots (the
+garbage compaction leaves behind). The current snapshot's files are
+never touched; time travel keeps working for the retained window.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tokencodec import grouped, pageformat
+from tokencodec.spark import partition as part
+from tokencodec.spark.encode_job import PAGES_DDL, _encode_chunk, read_pages
+from tokencodec.spark.table import SnapshotTable
+
+_PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
+
+
+def _string_array(page) -> pa.Array:
+    off, data = pageformat.decode_string_page(page)
+    return pa.Array.from_buffers(
+        pa.large_string(), len(off) - 1,
+        [None, pa.py_buffer(off), pa.py_buffer(data)]).cast(pa.string())
+
+
+def _merge_batches(uid_prefix: str):
+    """mapInArrow: co-partitioned mergeable chunks -> re-encoded chunks.
+    Buffers one (bucket, salt, gid) merge group at a time; groups are
+    budget-bounded by construction, so memory stays bounded."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tokencodec.spark.decode_job import _binary_views
+        from tokencodec.spark.encode_job import _rows_to_batch
+
+        cur_key = None
+        doc_ids: list[pa.Array] = []
+        sources: list[pa.Array] = []
+        toks: list[np.ndarray] = []
+        ntoks: list[np.ndarray] = []
+        rows: list[dict] = []
+
+        def flush():
+            nonlocal doc_ids, sources, toks, ntoks
+            if not ntoks:
+                return
+            rows.append(_encode_chunk(
+                cur_key[0], cur_key[1], cur_key[2],
+                pa.concat_arrays([a.cast(pa.string()) for a in doc_ids]),
+                np.concatenate(toks), np.concatenate(ntoks),
+                pa.concat_arrays([a.cast(pa.string()) for a in sources]),
+                uid_prefix=uid_prefix))
+            doc_ids, sources, toks, ntoks = [], [], [], []
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            views = {c: _binary_views(batch.column(idx[c])) for c in _PAGE_COLS}
+            bks = batch.column(idx["bucket"])
+            sls = batch.column(idx["salt"])
+            gds = batch.column(idx["gid"])
+            for r in range(batch.num_rows):
+                key = (bks[r].as_py(), sls[r].as_py(), gds[r].as_py())
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                    if len(rows) >= 4:  # emit early: bounded memory
+                        yield _rows_to_batch(rows)
+                        rows.clear()
+                pages = {c: data[off[r]:off[r + 1]]
+                         for c, (off, data) in views.items()}
+                toks.append(grouped.decode_tokens_column(pages["page_tokens"]))
+                ntoks.append(pageformat.decode_int_page(pages["page_n_tok"])
+                             .astype(np.int64))
+                doc_ids.append(_string_array(pages["page_doc_id"]))
+                sources.append(_string_array(pages["page_source"]))
+        flush()
+        if rows:
+            yield _rows_to_batch(rows)
+
+    return fn
+
+
+def compact(spark: SparkSession, root: str,
+            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+            parquet_codec: str = "snappy") -> dict:
+    """Merge under-filled chunks; replace-commit the new layout.
+    Returns the new snapshot dict (or the current one if nothing to do)."""
+    tbl = SnapshotTable(root)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    pages = read_pages(spark, root)
+    pages = pages.na.fill({"doc_part": 0, "doc_parts": 1})
+
+    mergeable = (F.col("doc_parts") == 1) & (F.col("n_tokens") < max_chunk_tokens // 2)
+    # budget-bounded merge groups per (bucket, salt): a running token
+    # sum divided by the budget. Ordered by chunk_uid — chunk_seq
+    # REPEATS across commit groups / streaming batches for one (bucket,
+    # salt), and duplicate ORDER BY keys are RANGE-frame peers whose
+    # running sums collapse. Bounded per-partition window (one (bucket,
+    # salt) never exceeds its committed chunk count).
+    w = Window.partitionBy("bucket", "salt").orderBy("chunk_uid")
+    marked = pages.withColumn(
+        "gid",
+        F.when(mergeable,
+               F.floor((F.sum(F.when(mergeable, F.col("n_tokens")).otherwise(0))
+                        .over(w) - 1) / F.lit(max_chunk_tokens)).cast("int"))
+        .otherwise(F.lit(None)))
+    small = marked.filter(F.col("gid").isNotNull())
+    # nothing worth rewriting: a group of one keeps its exact bytes, so
+    # only (bucket, salt) runs with >= 2 mergeable chunks are touched
+    counts = (small.groupBy("bucket", "salt", "gid")
+              .agg(F.count("*").alias("k")).filter(F.col("k") >= 2)
+              .select("bucket", "salt", "gid"))
+    todo = small.join(counts, ["bucket", "salt", "gid"])
+    n_todo = todo.count()
+    if n_todo == 0:
+        return snap
+    uid_prefix = f"cmp{snap['snapshot_id'] + 1}"
+    merged = (todo
+              .repartition("bucket", "salt", "gid")
+              .sortWithinPartitions("bucket", "salt", "gid", "chunk_uid")
+              .select("bucket", "salt", "gid", *_PAGE_COLS)
+              .mapInArrow(_merge_batches(uid_prefix), PAGES_DDL))
+    untouched = marked.join(counts, ["bucket", "salt", "gid"],
+                            "left_anti").select(*merged.columns)
+    out = untouched.unionByName(merged)
+    run_dir = tbl.new_run_dir()
+    (out.write.mode("overwrite").option("compression", parquet_codec)
+        .parquet(run_dir))
+    m = spark.read.parquet(run_dir).agg(
+        F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("n_tokens"), F.sum("enc_bytes").alias("enc_bytes"),
+        F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
+    m = {k: int(v or 0) for k, v in m.items()}
+    m["compacted_chunks"] = int(n_todo)
+    m["op"] = "compact"
+    # the rewrite spans every group: all group keys now point at the one
+    # rewritten run dir (their union is exactly the table's rows)
+    new_groups = {k: [run_dir] if i == 0 else []
+                  for i, k in enumerate(sorted(snap["groups"]))}
+    return tbl.commit(new_groups, metrics=m, replace=True)
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Drop all but the last ``keep_last`` snapshots and delete run
+    directories referenced only by the dropped ones."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    tbl = SnapshotTable(root)
+    snaps = tbl.snapshots()
+    if len(snaps) <= keep_last:
+        return {"expired_snapshots": 0, "deleted_dirs": 0}
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+    live = {p for s in keep for ps in s["groups"].values() for p in ps}
+    dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
+    for p in sorted(dead):
+        tbl.fs.delete(p, recursive=True)
+    for s in drop:
+        tbl.fs.delete(posixpath.join(
+            tbl.manifest_dir, f"snapshot-{s['snapshot_id']:06d}.json"))
+    return {"expired_snapshots": len(drop), "deleted_dirs": len(dead)}

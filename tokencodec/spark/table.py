@@ -81,13 +81,23 @@ class SnapshotTable:
         run_id = uuid.uuid4().hex[:12]
         return posixpath.join(self.root, "data", f"run-{run_id}")
 
-    def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None) -> dict:
-        """Append ``new_groups`` to the current snapshot atomically."""
+    def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None,
+               replace: bool = False) -> dict:
+        """Append ``new_groups`` to the current snapshot atomically.
+
+        ``replace=True`` swaps the data paths of EXISTING group keys
+        instead (Iceberg's rewrite-files semantics — used by
+        compaction): the group's logical rows must be identical, only
+        their physical layout changes. Old files stay referenced by the
+        parent snapshot until expired, so time travel keeps working."""
         parent = self.current_snapshot()
         sid = (parent["snapshot_id"] + 1) if parent else 0
         groups = dict(parent["groups"]) if parent else {}
         for k, v in new_groups.items():
-            if k in groups:
+            if replace:
+                if k not in groups:
+                    raise ValueError(f"cannot replace unknown group {k}")
+            elif k in groups:
                 raise ValueError(f"group {k} already committed (snapshot {parent['snapshot_id']})")
             groups[k] = v
         snap = {
