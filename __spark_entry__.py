@@ -199,6 +199,38 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction under the oracle: encode the documents-derived table
+    with a tiny budget (many under-filled chunks + split docs), rewrite
+    it with `maintenance.compact`, then decode the COMPACTED layout and
+    let DuckDB hash-verify the rows straight from `documents` — the
+    rewrite must be row-invisible. Chunk-count shrinkage itself is
+    asserted engine-side (raises if compaction was a no-op)."""
+    from tokencodec.spark import decode_job, encode_job, maintenance
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/cmp_v1_n{n}"
+    key = root + "/compacted"
+    if key not in _ENGINE_CACHE:
+        encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                          commit_groups=2, max_chunk_tokens=48)
+        before = encode_job.read_pages(spark, root).count()
+        maintenance.compact(spark, root, max_chunk_tokens=4096)
+        after = encode_job.read_pages(spark, root).count()
+        if after >= before:
+            raise RuntimeError(f"compaction did not shrink: {before} -> {after}")
+        _ENGINE_CACHE[key] = root
+    out = decode_job.decode(spark, root)
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
 def q_engine_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level projection pushdown: decode only (doc_id, n_tok) —
     the tokens pages (the vast majority of table bytes) are never
@@ -1358,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_encode_metrics_docs": q_engine_encode_metrics_docs,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
         "engine_decode_rows": q_engine_decode_rows,
+        "engine_compact_roundtrip": q_engine_compact_roundtrip,
         "engine_decode_projection": q_engine_decode_projection,
         "engine_lineage": q_engine_lineage,
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
@@ -1401,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_encode_metrics_docs": SQL_ENGINE_ENCODE_METRICS_DOCS,
         "engine_roundtrip_audit": SQL_ENGINE_ROUNDTRIP_AUDIT,
         "engine_decode_rows": SQL_ENGINE_DECODE_ROWS,
+        "engine_compact_roundtrip": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,
         "engine_stream_encode": SQL_ENGINE_DECODE_ROWS,
