@@ -311,6 +311,26 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         sub = df.filter(grp.isin([int(g) for g in remaining]))
     bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
     pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+    # per-group commit metrics ride along with the write action itself
+    # (Observation aggregates during the job) — the former read-back of
+    # the freshly written parquet cost a full extra pages scan per group
+    from pyspark.sql import Observation
+    obs = Observation()
+    _METRIC_AGGS = {
+        "n_chunks": lambda c: F.count(F.when(c, 1)),
+        "n_rows": lambda c: F.sum(F.when(c, F.col("n_rows"))),
+        "n_tokens": lambda c: F.sum(F.when(c, F.col("n_tokens"))),
+        "raw_bytes": lambda c: F.sum(F.when(c, F.col("raw_bytes"))),
+        # recorded so decode() can plan the reassembly branch without
+        # running a metadata probe job (zero-job plan construction)
+        "enc_bytes": lambda c: F.sum(F.when(c, F.col("enc_bytes"))),
+        "max_doc_parts": lambda c: F.max(F.when(c, F.col("doc_parts"))),
+    }
+    aggs = []
+    for g in remaining:
+        cond = F.pmod(F.col("salt"), F.lit(commit_groups)) == g
+        aggs += [fn(cond).alias(f"{name}_{g}") for name, fn in _METRIC_AGGS.items()]
+    pages = pages.observe(obs, *aggs)
     run_dir = tbl.new_run_dir()
     # parquet_codec wraps the (already entropy-tight) pages: snappy buys
     # ~5% disk for ~13% extra write wall on this box — the right default
@@ -326,28 +346,20 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
          .partitionBy("grp").parquet(run_dir))
         group_dirs = {g: os.path.join(run_dir, f"grp={g}") for g in remaining}
     wall = time.time() - t0
+    observed = obs.get
     for g in remaining:
         gdir = group_dirs[g]
+        m = {name: int(observed[f"{name}_{g}"] or 0) for name in _METRIC_AGGS}
+        m["scheme"] = scheme
         # a group with zero rows may leave no dir (partitionBy) or a dir
-        # with only _SUCCESS (commit_groups=1): either way there is no
-        # parquet to aggregate — commit an empty path list so resume
-        # knows the group is done and readers see a valid empty table
-        if not _has_parquet(tbl.fs, gdir):
-            tbl.commit({f"g{g}": []}, metrics={
-                "n_chunks": 0, "n_rows": 0, "n_tokens": 0,
-                "max_doc_parts": 0, "scheme": scheme})
+        # with only _SUCCESS (commit_groups=1): either way commit an
+        # empty path list so resume knows the group is done and readers
+        # see a valid empty table
+        if m["n_chunks"] == 0 or not _has_parquet(tbl.fs, gdir):
+            tbl.commit({f"g{g}": []}, metrics=m)
             continue
-        m = spark.read.parquet(gdir).agg(
-            F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
-            F.sum("n_tokens").alias("n_tokens"), F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            # recorded so decode() can plan the reassembly branch without
-            # running a metadata probe job (zero-job plan construction)
-            F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
-        m = {k: int(v or 0) for k, v in m.items()}
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
-        m["scheme"] = scheme
         tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 
@@ -470,12 +482,16 @@ def pack_source(spark: SparkSession, src_dir: str,
     return sdf.mapInArrow(_read_and_pack, PACKED_DDL)
 
 
-# target uncompressed bytes per encode task: large enough to amortize
+# target footer-reported bytes per encode task: large enough to amortize
 # the per-task JVM->Python handoff (measured at sf0.1/local[32]: 32
 # tasks = 1.5s vs 128 tasks = 2.1-5s, identical output bytes), small
 # enough that per-partition sorts never spill at 100 TB (a fixed
-# tasks-per-core multiplier would give 3 GB partitions there)
-TARGET_TASK_BYTES = 32 << 20
+# tasks-per-core multiplier would give 3 GB partitions there). The
+# footer's total_byte_size counts parquet-encoded (dict/RLE) pages and
+# undercounts decoded raw bytes ~2x on token data, so 16 MB here means
+# ~32-40 MB of raw tokens per task — and >1 wave of tasks (straggler
+# smoothing) as soon as the input outgrows cores * 16 MB.
+TARGET_TASK_BYTES = 16 << 20
 
 
 def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,

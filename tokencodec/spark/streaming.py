@@ -44,14 +44,18 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         bucketed = part.bucketed(batch_df, n_salts=part.salts_for(batch_df.count()))
         pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
         run_dir = tbl.new_run_dir()
-        pages.write.mode("overwrite").parquet(run_dir)
+        # metrics observed during the write itself (no read-back pass);
+        # max_doc_parts mirrors batch encode so decode() plans job-free
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
-        m = spark.read.parquet(run_dir).agg(
-            F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
+        obs = Observation()
+        observed = pages.observe(
+            obs, F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
             F.sum("n_tokens").alias("n_tokens"),
-            # mirrors batch encode: lets decode() plan without a probe job
-            F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
-        m = {k: int(v or 0) for k, v in m.items()}
+            F.max("doc_parts").alias("max_doc_parts"))
+        observed.write.mode("overwrite").parquet(run_dir)
+        m = {k: int(v or 0) for k, v in obs.get.items()}
         m["batch_id"] = batch_id
         tbl.commit({key: [run_dir]}, metrics=m)
 
