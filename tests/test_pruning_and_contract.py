@@ -117,3 +117,60 @@ def test_projection_packed_with_splits(spark, tmp_path):
         lambda x, y: F.concat(x, y))).alias("h"))
     a = out.select("doc_id", F.xxhash64("tokens").alias("h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_source_pruning_correct_and_skips_chunks(spark, enc_root):
+    df, root = enc_root
+    # salts spread doc_ids, so most chunks hold a mix; use a rare source
+    srcs = [r.source for r in df.select("source").distinct().collect()]
+    pick = [sorted(srcs)[0]]
+    out = decode_job.decode(spark, root, sources=pick)
+    expected = df.filter(F.col("source").isin(pick))
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_n_tok_range_pruning(spark, enc_root):
+    df, root = enc_root
+    out = decode_job.decode(spark, root, n_tok_min=400, n_tok_max=900)
+    expected = df.filter((F.col("n_tok") >= 400) & (F.col("n_tok") <= 900))
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+    pages = encode_job.read_pages(spark, root)
+    total = pages.count()
+    touched = pages.filter((F.col("n_tok_max") >= 400)
+                           & (F.col("n_tok_min") <= 900)).count()
+    assert touched < total, "n_tok range should prune some chunks"
+
+
+def test_n_tok_pruning_never_drops_split_docs(spark, tmp_path):
+    """A split document's chunk stats describe PART lengths; a filter on
+    document length must still see the reassembled doc."""
+    df = synth.token_table(spark, 60, seed=33)
+    root = str(tmp_path / "split")
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=64)
+    pages = encode_job.read_pages(spark, root)
+    assert pages.filter("doc_parts > 1").count() > 0
+    lo = 200  # every part is <= 64 tokens, so naive pruning would drop all
+    out = decode_job.decode(spark, root, n_tok_min=lo)
+    expected = df.filter(F.col("n_tok") >= lo)
+    assert expected.count() > 0
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_stats_nulls_from_legacy_files_never_prune(spark, enc_root):
+    """Pages written before the stats columns existed surface them as
+    NULL under the explicit read schema; decode must keep such chunks."""
+    df, root = enc_root
+    pages = encode_job.read_pages(spark, root)
+    legacy = pages.withColumn("n_tok_min", F.lit(None).cast("int")) \
+                  .withColumn("n_tok_max", F.lit(None).cast("int")) \
+                  .withColumn("source_set", F.lit(None).cast("string"))
+    import tokencodec.spark.decode_job as dj
+    orig = dj.read_pages
+    try:
+        dj.read_pages = lambda *a, **k: legacy
+        out = decode_job.decode(spark, root, sources=["web"], n_tok_min=500)
+    finally:
+        dj.read_pages = orig
+    expected = df.filter((F.col("source") == "web") & (F.col("n_tok") >= 500))
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}

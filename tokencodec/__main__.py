@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
                           "e.g. doc_id,n_tok")
     dec.add_argument("--snapshot-id", type=int,
                      help="time travel: decode the table as of this snapshot")
+    dec.add_argument("--sources", help="comma-separated source filter "
+                                       "(chunk pruning + row re-filter)")
+    dec.add_argument("--n-tok-min", type=int)
+    dec.add_argument("--n-tok-max", type=int)
 
     aud = sub.add_parser(
         "audit",
@@ -103,7 +107,11 @@ def main(argv: list[str] | None = None) -> int:
                                    doc_id_max=args.doc_id_max, packed=args.packed,
                                    columns=(args.columns.split(",")
                                             if args.columns else None),
-                                   snapshot_id=args.snapshot_id)
+                                   snapshot_id=args.snapshot_id,
+                                   sources=(args.sources.split(",")
+                                            if args.sources else None),
+                                   n_tok_min=args.n_tok_min,
+                                   n_tok_max=args.n_tok_max)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":

@@ -165,16 +165,24 @@ def decode(spark: SparkSession, root: str,
            doc_id_min: str | None = None, doc_id_max: str | None = None,
            buckets: list[int] | None = None, packed: bool = False,
            columns: list[str] | None = None,
-           snapshot_id: int | None = None) -> DataFrame:
+           snapshot_id: int | None = None,
+           sources: list[str] | None = None,
+           n_tok_min: int | None = None,
+           n_tok_max: int | None = None) -> DataFrame:
     """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
     column chunk of every row group, /root/reference/src/Parquet/Reader.hs:577-585):
-    the per-chunk doc-id range and length bucket recorded at encode time
-    prune whole chunks BEFORE any page crosses the Arrow boundary —
-    min/max skipping exactly like Iceberg/parquet row-group stats.
-    A doc-id range filter is re-applied row-level after decode (chunk
-    ranges overlap the predicate, rows must match it exactly).
+    per-chunk stats recorded at encode time — doc-id range, length
+    bucket, n_tok range, and the distinct-source set — prune whole
+    chunks BEFORE any page crosses the Arrow boundary, min/max skipping
+    exactly like Iceberg/parquet row-group stats. Every chunk predicate
+    is re-applied row-level after decode (chunk ranges merely overlap
+    the predicate; rows must match it exactly). NULL stats (files from
+    older engine versions, or source sets over the recording cap) mean
+    "unknown" and are never pruned. Split-document parts are exempt
+    from n_tok pruning: their stats describe part lengths, and the
+    filter applies to the reassembled document length.
     ``columns`` projects at the page level: only the requested columns'
     binary pages are read and parsed.
     """
@@ -184,9 +192,13 @@ def decode(spark: SparkSession, root: str,
     bad = [c for c in req if c not in ALL_COLUMNS]
     if bad:
         raise ValueError(f"unknown columns {bad}; available: {ALL_COLUMNS}")
-    # doc_id is needed internally for range filters and for legacy
+    # columns needed internally for row-level re-filters and for legacy
     # split-group keys; decoded if missing, dropped again at the end
     cols = list(req)
+    if sources is not None and "source" not in cols:
+        cols = cols + ["source"]
+    if (n_tok_min is not None or n_tok_max is not None) and "n_tok" not in cols:
+        cols = cols + ["n_tok"]
     needs_doc = (doc_id_min is not None or doc_id_max is not None
                  or "tokens" in cols or "n_tok" in cols)
     if needs_doc and "doc_id" not in cols:
@@ -199,6 +211,21 @@ def decode(spark: SparkSession, root: str,
         pages = pages.filter(F.col("doc_id_min") <= doc_id_max)
     if buckets is not None:
         pages = pages.filter(F.col("bucket").isin(buckets))
+    if sources is not None:
+        # keep chunks whose recorded source set overlaps the filter;
+        # NULL set = unknown = keep
+        pages = pages.filter(
+            F.col("source_set").isNull()
+            | (F.size(F.array_intersect(
+                F.split(F.col("source_set"), ","),
+                F.array(*[F.lit(s) for s in sources]))) > 0))
+    split_exempt = F.coalesce(F.col("doc_parts"), F.lit(1)) > 1
+    if n_tok_min is not None:
+        pages = pages.filter(F.col("n_tok_max").isNull() | split_exempt
+                             | (F.col("n_tok_max") >= n_tok_min))
+    if n_tok_max is not None:
+        pages = pages.filter(F.col("n_tok_min").isNull() | split_exempt
+                             | (F.col("n_tok_min") <= n_tok_max))
     has_parts = "doc_part" in pages.columns
     if not has_parts:
         # tables written before doc splitting existed: every chunk whole
@@ -263,6 +290,12 @@ def decode(spark: SparkSession, root: str,
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
+    if sources is not None:
+        out = out.filter(F.col("source").isin(sources))
+    if n_tok_min is not None:
+        out = out.filter(F.col("n_tok") >= n_tok_min)
+    if n_tok_max is not None:
+        out = out.filter(F.col("n_tok") <= n_tok_max)
     return out.select(*req)
 
 

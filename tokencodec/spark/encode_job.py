@@ -34,14 +34,23 @@ from tokencodec import codecs, pageformat
 from tokencodec.spark import partition as part
 from tokencodec.spark.table import SnapshotTable
 
+# Appended columns must go LAST: read_pages uses this DDL as the
+# explicit read schema, so files written by older engine versions
+# surface missing trailing columns as NULLs (decode treats NULL stats
+# as "unknown - cannot prune").
 PAGES_DDL = (
     "bucket int, salt int, chunk_seq int, chunk_uid string, "
     "n_rows int, n_tokens bigint, doc_id_min string, doc_id_max string, "
     "doc_part int, doc_parts int, split_uid string, "
     "tokens_codec string, doc_id_codec string, n_tok_codec string, source_codec string, "
     "raw_bytes bigint, enc_bytes bigint, "
-    "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary"
+    "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary, "
+    "n_tok_min int, n_tok_max int, source_set string"
 )
+
+# per-chunk distinct-source lists longer than this are recorded as NULL
+# ("unknown"): an over-mixed chunk carries no pruning power anyway
+_SOURCE_SET_CAP = 8
 
 _COLS = ["doc_id", "tokens", "n_tok", "source", "bucket", "salt"]
 
@@ -71,6 +80,9 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     # true value range, NOT first/last in sort order (rows are ordered
     # n_tok-major) — pruning correctness depends on this
     mm = pc.min_max(doc_id) if n_rows else None
+    srcs = pc.unique(source).to_pylist() if n_rows else []
+    source_set = (",".join(sorted(srcs))
+                  if 0 < len(srcs) <= _SOURCE_SET_CAP else None)
     return {
         "bucket": bucket, "salt": salt, "chunk_seq": seq,
         # table-unique: prefixed with the commit-group key, so streaming
@@ -85,6 +97,9 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
         "raw_bytes": raw, "enc_bytes": enc,
         "page_tokens": p_tokens, "page_doc_id": p_doc,
         "page_n_tok": p_ntok, "page_source": p_src,
+        "n_tok_min": int(n_tok.min()) if n_rows else 0,
+        "n_tok_max": int(n_tok.max()) if n_rows else 0,
+        "source_set": source_set,
     }
 
 
@@ -102,6 +117,8 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
         "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
         "page_tokens": pa.binary(), "page_doc_id": pa.binary(),
         "page_n_tok": pa.binary(), "page_source": pa.binary(),
+        "n_tok_min": pa.int32(), "n_tok_max": pa.int32(),
+        "source_set": pa.string(),
     }
     for k, t in types.items():
         names.append(k)
