@@ -94,3 +94,27 @@ def test_expire_keeps_everything_when_window_covers_all(spark, tmp_path):
     _encode_small_chunks(spark, root)
     res = maintenance.expire_snapshots(root, keep_last=10)
     assert res == {"expired_snapshots": 0, "deleted_dirs": 0}
+
+
+@pytest.mark.parametrize("enc_budget,cmp_budget,n_rows", [
+    (500, 1 << 20, 150),    # tiny chunks -> one big merge per (bucket, salt)
+    (2000, 8000, 250),      # partial merges, several groups per salt
+    (64, 600, 100),         # split docs present; merge around them
+])
+def test_compact_property_sweep(spark, tmp_path, enc_budget, cmp_budget, n_rows):
+    """Across budget/size combinations: compaction never changes decoded
+    rows, never grows the chunk count, and is idempotent (a second
+    compaction at the same budget finds nothing to merge)."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, n_rows, seed=enc_budget)
+    encode_job.encode(spark, df, root, commit_groups=2,
+                      max_chunk_tokens=enc_budget)
+    n0 = encode_job.read_pages(spark, root).count()
+    s1 = maintenance.compact(spark, root, max_chunk_tokens=cmp_budget)
+    n1 = encode_job.read_pages(spark, root).count()
+    assert n1 <= n0
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True) \
+        == {"missing": 0, "extra": 0, "ok": True}
+    # idempotent: nothing left under half the budget to merge in groups of 2+
+    s2 = maintenance.compact(spark, root, max_chunk_tokens=cmp_budget)
+    assert s2["snapshot_id"] == s1["snapshot_id"], "second compact must be a no-op"
