@@ -109,7 +109,7 @@ def _merge_batches(uid_prefix: str):
 
 def compact(spark: SparkSession, root: str,
             max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-            parquet_codec: str = "snappy") -> dict:
+            parquet_codec: str = "zstd") -> dict:
     """Merge under-filled chunks; replace-commit the new layout.
     Returns the new snapshot dict (or the current one if nothing to do)."""
     tbl = SnapshotTable(root)
