@@ -105,3 +105,41 @@ def test_encode_from_parquet_file_uri_byte_identical(spark, tmp_path):
     local = fingerprint("enc_local", src)
     uri = fingerprint("enc_uri", f"file://{src}")
     assert local == uri and len(local) > 0
+
+
+def test_commit_retry_rebases_on_lost_race(tmp_path):
+    """A committer that loses the snapshot-id race to a COMPLETED
+    competing commit must re-base onto the winner and succeed (Iceberg's
+    optimistic commit loop), preserving both groups."""
+    root = str(tmp_path / "retry")
+    tbl_a, tbl_b = SnapshotTable(root), SnapshotTable(root)
+    tbl_a.commit({"g0": ["a"]})
+
+    # interleave: b reads parent (snapshot 0) ... a commits snapshot 1
+    # ... b's first create_excl collides, retries against snapshot 1
+    orig = tbl_b.fs.create_excl
+    raced = {"done": False}
+
+    def racing_create(path, text):
+        if not raced["done"]:
+            raced["done"] = True
+            tbl_a.commit({"g1": ["b"]})  # the competing committer wins
+        return orig(path, text)
+
+    tbl_b.fs.create_excl = racing_create
+    snap = tbl_b.commit({"g2": ["c"]})
+    assert snap["snapshot_id"] == 2
+    assert sorted(snap["groups"]) == ["g0", "g1", "g2"]
+
+
+def test_torn_snapshot_file_skipped_and_commit_raises(tmp_path):
+    """A torn snapshot file (crash between claim and CURRENT swap) must
+    not poison metadata walks; colliding commits still fail loudly."""
+    root = str(tmp_path / "torn")
+    tbl = SnapshotTable(root)
+    tbl.commit({"g0": ["a"]})
+    tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "not json{")
+    assert [s["snapshot_id"] for s in tbl.snapshots()] == [0]
+    with pytest.raises(FileExistsError):
+        tbl.commit({"g1": ["b"]})
+    assert tbl.current_snapshot()["snapshot_id"] == 0

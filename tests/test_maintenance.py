@@ -118,3 +118,34 @@ def test_compact_property_sweep(spark, tmp_path, enc_budget, cmp_budget, n_rows)
     # idempotent: nothing left under half the budget to merge in groups of 2+
     s2 = maintenance.compact(spark, root, max_chunk_tokens=cmp_budget)
     assert s2["snapshot_id"] == s1["snapshot_id"], "second compact must be a no-op"
+
+
+def test_crash_before_compact_commit_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """A compaction killed between writing its run dir and committing
+    must leave the table exactly as it was: the new files are invisible
+    orphans (snapshot semantics), and a re-run compacts cleanly."""
+    from tokencodec.spark.table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    df = _encode_small_chunks(spark, root)
+    sid_before = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    chunks_before = encode_job.read_pages(spark, root).count()
+
+    real_commit = SnapshotTable.commit
+
+    def dying_commit(self, *a, **k):
+        raise RuntimeError("killed before commit")
+
+    monkeypatch.setattr(SnapshotTable, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="killed before commit"):
+        maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    monkeypatch.setattr(SnapshotTable, "commit", real_commit)
+
+    # table unchanged: same snapshot, same chunks, rows intact
+    assert SnapshotTable(root).current_snapshot()["snapshot_id"] == sid_before
+    assert encode_job.read_pages(spark, root).count() == chunks_before
+    assert decode_job.audit(df, decode_job.decode(spark, root))["ok"]
+
+    # re-run succeeds and the earlier orphan run dir is expirable noise
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]

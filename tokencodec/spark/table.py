@@ -69,11 +69,20 @@ class SnapshotTable:
         return paths
 
     def snapshots(self) -> list[dict]:
+        """All well-formed snapshots, ordered by id. A committer that
+        crashed between claiming its snapshot file and the CURRENT swap
+        can leave a torn/partial file; skip anything unparseable or
+        incomplete rather than poisoning every metadata walk."""
         out = []
         for name in sorted(self.fs.listdir(self.manifest_dir)):
             if name.startswith("snapshot-"):
-                out.append(json.loads(
-                    self.fs.read_text(posixpath.join(self.manifest_dir, name))))
+                try:
+                    s = json.loads(self.fs.read_text(
+                        posixpath.join(self.manifest_dir, name)))
+                except ValueError:
+                    continue
+                if isinstance(s, dict) and "snapshot_id" in s and "groups" in s:
+                    out.append(s)
         return out
 
     # ------------------------------------------------------------- writes
@@ -82,38 +91,49 @@ class SnapshotTable:
         return posixpath.join(self.root, "data", f"run-{run_id}")
 
     def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None,
-               replace: bool = False) -> dict:
+               replace: bool = False, retries: int = 3) -> dict:
         """Append ``new_groups`` to the current snapshot atomically.
 
         ``replace=True`` swaps the data paths of EXISTING group keys
         instead (Iceberg's rewrite-files semantics — used by
         compaction): the group's logical rows must be identical, only
         their physical layout changes. Old files stay referenced by the
-        parent snapshot until expired, so time travel keeps working."""
-        parent = self.current_snapshot()
-        sid = (parent["snapshot_id"] + 1) if parent else 0
-        groups = dict(parent["groups"]) if parent else {}
-        for k, v in new_groups.items():
-            if replace:
-                if k not in groups:
-                    raise ValueError(f"cannot replace unknown group {k}")
-            elif k in groups:
-                raise ValueError(f"group {k} already committed (snapshot {parent['snapshot_id']})")
-            groups[k] = v
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "timestamp_ms": int(time.time() * 1000),
-            "groups": groups,
-            "new_groups": sorted(new_groups),
-            "metrics": metrics or {},
-        }
-        name = f"snapshot-{sid:06d}.json"
-        # optimistic concurrency: snapshot ids are claimed create-
-        # exclusive, so two committers racing on the same parent fail
-        # loudly instead of silently overwriting (Iceberg's commit
-        # semantics)
-        self.fs.create_excl(posixpath.join(self.manifest_dir, name),
-                            json.dumps(snap, indent=1))
-        self.fs.write_atomic(posixpath.join(self.manifest_dir, "CURRENT"), name)
-        return snap
+        parent snapshot until expired, so time travel keeps working.
+
+        Optimistic concurrency with retry (Iceberg's commit loop): the
+        snapshot id is claimed create-exclusive; when another committer
+        wins the race, the commit is re-based onto the NEW current
+        snapshot and re-validated — an append retries unless its group
+        key now exists, a replace retries unless its key vanished. After
+        ``retries`` lost races it raises the FileExistsError."""
+        last_err: Exception | None = None
+        for _ in range(retries + 1):
+            parent = self.current_snapshot()
+            sid = (parent["snapshot_id"] + 1) if parent else 0
+            groups = dict(parent["groups"]) if parent else {}
+            for k, v in new_groups.items():
+                if replace:
+                    if k not in groups:
+                        raise ValueError(f"cannot replace unknown group {k}")
+                elif k in groups:
+                    raise ValueError(
+                        f"group {k} already committed (snapshot {parent['snapshot_id']})")
+                groups[k] = v
+            snap = {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "timestamp_ms": int(time.time() * 1000),
+                "groups": groups,
+                "new_groups": sorted(new_groups),
+                "metrics": metrics or {},
+            }
+            name = f"snapshot-{sid:06d}.json"
+            try:
+                self.fs.create_excl(posixpath.join(self.manifest_dir, name),
+                                    json.dumps(snap, indent=1))
+            except FileExistsError as e:
+                last_err = e
+                continue  # lost the race: re-base on the winner and retry
+            self.fs.write_atomic(posixpath.join(self.manifest_dir, "CURRENT"), name)
+            return snap
+        raise last_err
