@@ -139,3 +139,24 @@ def test_compression_beats_plain_per_profile():
         page = pageformat.encode_int_page(vals, kind)
         raw = len(vals) * (8 if kind else 4)
         assert len(page) <= raw * expect_ratio + 64, (profile, len(page), raw)
+
+
+def test_edge_values_roundtrip(spark, tmp_path):
+    """Full engine path on adversarial values: int32 extremes and
+    negatives (zigzag/FOR/bitpack paths), unicode and empty strings,
+    an empty doc_id, and duplicate rows (multiset semantics)."""
+    from tokencodec.spark import decode_job, encode_job
+
+    rows = [
+        ("doc-ünïcode-0", [-1, -2147483648, 2147483647, 0], 4, "wëb"),
+        ("doc-empty-src", [5, 5, 5], 3, ""),
+        ("", [1], 1, "books"),
+        ("doc-dup", [-7] * 100, 100, "code"),
+        ("doc-dup", [-7] * 100, 100, "code"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    root = str(tmp_path / "edge")
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=2)
+    res = decode_job.audit(df, decode_job.decode(spark, root), strict=True)
+    assert res == {"missing": 0, "extra": 0, "ok": True}
