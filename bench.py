@@ -66,7 +66,7 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
         return encode_job.encode_from_parquet(spark, src, root, commit_groups=1)
 
-    timed("q_encode", fresh_encode, reps=2)
+    timed("q_encode", fresh_encode, reps=3)
     pages = encode_job.read_pages(spark, root)
     agg = pages.agg(F.sum("n_tokens").alias("t"), F.sum("raw_bytes").alias("r"),
                     F.sum("enc_bytes").alias("e"), F.count("*").alias("c")).collect()[0]
