@@ -149,3 +149,39 @@ def test_crash_before_compact_commit_leaves_table_intact(spark, tmp_path, monkey
     # re-run succeeds and the earlier orphan run dir is expirable noise
     maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
     assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+
+
+def test_compacted_table_still_prunes_and_filters(spark, tmp_path):
+    """Merged chunks recompute their stats (doc range, n_tok range,
+    source set), so stats pruning keeps working after a rewrite."""
+    root = str(tmp_path / "t")
+    df = _encode_small_chunks(spark, root)
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    from pyspark.sql import functions as F
+    out = decode_job.decode(spark, root, sources=["web"], n_tok_min=600)
+    expected = df.filter((F.col("source") == "web") & (F.col("n_tok") >= 600))
+    assert decode_job.audit(expected, out, strict=True)["ok"]
+
+
+def test_stream_then_compact_then_stream(spark, tmp_path):
+    """Streaming micro-batches before AND after a compaction must
+    coexist: compact replaces the existing stream-batch groups' paths,
+    later batches append fresh groups, and the union decodes exactly.
+    Batch 2 reuses batch 1's doc_ids with different content — duplicate
+    doc_ids across batches are legal multiset rows, never merged."""
+    from tokencodec.spark import streaming
+
+    src_dir = str(tmp_path / "src")
+    root = str(tmp_path / "enc")
+    df1 = synth.token_table(spark, 80, seed=41)
+    df1.write.mode("overwrite").parquet(src_dir)
+    streaming.encode_stream(spark, src_dir, root, max_chunk_tokens=1000)
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+
+    df2 = synth.token_table(spark, 80, seed=42)
+    df2.write.mode("append").parquet(src_dir)
+    streaming.encode_stream(spark, src_dir, root, max_chunk_tokens=1000)
+
+    expected = df1.unionByName(df2)
+    res = decode_job.audit(expected, decode_job.decode(spark, root), strict=True)
+    assert res == {"missing": 0, "extra": 0, "ok": True}
