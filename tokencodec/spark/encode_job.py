@@ -20,6 +20,7 @@ source — our analog of the reference's column chunks,
 from __future__ import annotations
 
 import os
+import posixpath
 import time
 from collections.abc import Iterator
 
@@ -103,24 +104,30 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     }
 
 
+# Arrow analog of PAGES_DDL: _rows_to_batch builds batches with it and
+# the direct writer stamps it on task-written parquet files, so classic
+# (JVM-written) and direct (pyarrow-written) tables read identically
+# under read_pages' explicit schema.
+_PAGES_TYPES = {
+    "bucket": pa.int32(), "salt": pa.int32(), "chunk_seq": pa.int32(),
+    "chunk_uid": pa.string(), "n_rows": pa.int32(), "n_tokens": pa.int64(),
+    "doc_id_min": pa.string(), "doc_id_max": pa.string(),
+    "doc_part": pa.int32(), "doc_parts": pa.int32(), "split_uid": pa.string(),
+    "tokens_codec": pa.string(), "doc_id_codec": pa.string(),
+    "n_tok_codec": pa.string(), "source_codec": pa.string(),
+    "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
+    "page_tokens": pa.binary(), "page_doc_id": pa.binary(),
+    "page_n_tok": pa.binary(), "page_source": pa.binary(),
+    "n_tok_min": pa.int32(), "n_tok_max": pa.int32(),
+    "source_set": pa.string(),
+}
+
+
 def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
     cols = {k: [r[k] for r in rows] for k in rows[0]}
     arrays = []
     names = []
-    types = {
-        "bucket": pa.int32(), "salt": pa.int32(), "chunk_seq": pa.int32(),
-        "chunk_uid": pa.string(), "n_rows": pa.int32(), "n_tokens": pa.int64(),
-        "doc_id_min": pa.string(), "doc_id_max": pa.string(),
-        "doc_part": pa.int32(), "doc_parts": pa.int32(), "split_uid": pa.string(),
-        "tokens_codec": pa.string(), "doc_id_codec": pa.string(),
-        "n_tok_codec": pa.string(), "source_codec": pa.string(),
-        "raw_bytes": pa.int64(), "enc_bytes": pa.int64(),
-        "page_tokens": pa.binary(), "page_doc_id": pa.binary(),
-        "page_n_tok": pa.binary(), "page_source": pa.binary(),
-        "n_tok_min": pa.int32(), "n_tok_max": pa.int32(),
-        "source_set": pa.string(),
-    }
-    for k, t in types.items():
+    for k, t in _PAGES_TYPES.items():
         names.append(k)
         arrays.append(pa.array(cols[k], type=t))
     return pa.RecordBatch.from_arrays(arrays, names=names)
@@ -277,12 +284,99 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
     return encode_batches
 
 
+# one summary row per (task, commit group) written file — small enough
+# to collect on the driver at any scale (files, not chunks: a 100-TB
+# run with 100k tasks x 2 groups collects 200k rows; per-chunk lineage
+# stays inside the pages files themselves)
+META_DDL = ("grp int, file string, n_chunks bigint, n_rows bigint, "
+            "n_tokens bigint, raw_bytes bigint, enc_bytes bigint, "
+            "max_doc_parts int")
+
+
+def make_direct_writer(run_dir: str, parquet_codec: str,
+                       max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+                       commit_groups: int = 1):
+    """mapInArrow function: encode AND write pages parquet inside the
+    task (Iceberg's write pattern — tasks produce data files, the
+    driver commits the file list). Skips the classic path's two costs:
+    shipping ~chunk-sized page blobs back across the Arrow boundary and
+    the JVM row-assembly + parquet re-encode. Task retries write under
+    a fresh taskAttemptId-suffixed name, so a lost attempt leaves only
+    an orphan file that the driver's post-job sweep (or snapshot GC)
+    removes — the manifest lists exactly the files of attempts whose
+    result row was collected."""
+    inner = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
+    schema = pa.schema(_PAGES_TYPES)
+
+    def write_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        att = ctx.taskAttemptId() if ctx else 0
+        if "://" in run_dir:
+            from pyarrow import fs as pafs
+            pafs_fs, base = pafs.FileSystem.from_uri(run_dir)
+        else:
+            pafs_fs, base = None, run_dir
+        writers: dict[int, pq.ParquetWriter] = {}
+        files: dict[int, str] = {}
+        agg: dict[int, dict] = {}
+        try:
+            for batch in inner(it):
+                salts = batch.column(1).to_numpy(zero_copy_only=False)
+                grps = salts % commit_groups
+                for g in np.unique(grps):
+                    g = int(g)
+                    sub = batch.filter(pa.array(grps == g))
+                    if g not in writers:
+                        name = f"part-{pid:05d}-{att}-g{g}.parquet"
+                        files[g] = posixpath.join(run_dir, name)
+                        writers[g] = pq.ParquetWriter(
+                            posixpath.join(base, name), schema,
+                            compression=parquet_codec, filesystem=pafs_fs)
+                        agg[g] = {"n_chunks": 0, "n_rows": 0, "n_tokens": 0,
+                                  "raw_bytes": 0, "enc_bytes": 0,
+                                  "max_doc_parts": 1}
+                    writers[g].write_table(pa.Table.from_batches([sub]))
+                    a = agg[g]
+                    a["n_chunks"] += sub.num_rows
+                    a["n_rows"] += int(pc.sum(sub.column(4)).as_py() or 0)
+                    a["n_tokens"] += int(pc.sum(sub.column(5)).as_py() or 0)
+                    a["raw_bytes"] += int(pc.sum(sub.column(15)).as_py() or 0)
+                    a["enc_bytes"] += int(pc.sum(sub.column(16)).as_py() or 0)
+                    a["max_doc_parts"] = max(
+                        a["max_doc_parts"], int(pc.max(sub.column(9)).as_py() or 1))
+        finally:
+            for w in writers.values():
+                w.close()
+        rows = [{"grp": g, "file": files[g], **agg[g]} for g in sorted(writers)]
+        if rows:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[k] for r in rows], type=t)
+                 for k, t in [("grp", pa.int32()), ("file", pa.string()),
+                              ("n_chunks", pa.int64()), ("n_rows", pa.int64()),
+                              ("n_tokens", pa.int64()), ("raw_bytes", pa.int64()),
+                              ("enc_bytes", pa.int64()), ("max_doc_parts", pa.int32())]],
+                names=["grp", "file", "n_chunks", "n_rows", "n_tokens",
+                       "raw_bytes", "enc_bytes", "max_doc_parts"])
+
+    return write_batches
+
+
 def encode(spark: SparkSession, df: DataFrame, out_root: str,
            commit_groups: int = 2, n_salts: int | None = None,
            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
            partitions: int | None = None,
-           parquet_codec: str = "zstd") -> DataFrame:
+           parquet_codec: str = "zstd",
+           direct_write: bool = False) -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF.
+
+    ``direct_write=True`` writes pages parquet with pyarrow inside each
+    task and commits the collected file list (Iceberg's task-file /
+    driver-manifest split) instead of shipping page blobs back through
+    Arrow for a JVM ``partitionBy`` write — same bytes per chunk, same
+    read path, measurably faster end-to-end (BASELINE.md).
 
     All remaining commit groups are encoded in ONE pass over the source
     (group = salt % commit_groups, written side-by-side via
@@ -327,6 +421,32 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                      F.lit(commit_groups))
         sub = df.filter(grp.isin([int(g) for g in remaining]))
     bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
+    if direct_write:
+        run_dir = tbl.new_run_dir()
+        tbl.fs.mkdirs(run_dir)
+        writer_fn = make_direct_writer(run_dir, parquet_codec,
+                                       max_chunk_tokens, commit_groups)
+        meta = bucketed.select(_COLS).mapInArrow(writer_fn, META_DDL).collect()
+        wall = time.time() - t0
+        # sweep orphans from lost/retried attempts BEFORE committing:
+        # only files whose result row was collected are real
+        _sweep_orphans(tbl.fs, run_dir,
+                       {r["file"].rsplit("/", 1)[-1] for r in meta})
+        for g in remaining:
+            rows = [r for r in meta if r["grp"] == g]
+            m = {"n_chunks": sum(r["n_chunks"] for r in rows),
+                 "n_rows": sum(r["n_rows"] for r in rows),
+                 "n_tokens": sum(r["n_tokens"] for r in rows),
+                 "raw_bytes": sum(r["raw_bytes"] for r in rows),
+                 "enc_bytes": sum(r["enc_bytes"] for r in rows),
+                 "max_doc_parts": max((r["max_doc_parts"] for r in rows),
+                                      default=0),
+                 "scheme": scheme}
+            if rows:
+                m["pass_wall_sec"] = round(wall, 3)
+                m["pass_groups"] = len(remaining)
+            tbl.commit({f"g{g}": sorted(r["file"] for r in rows)}, metrics=m)
+        return read_pages(spark, out_root)
     pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
     # per-group commit metrics ride along with the write action itself
     # (Observation aggregates during the job) — the former read-back of
@@ -381,6 +501,18 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m["pass_groups"] = len(remaining)
         tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
+
+
+def _sweep_orphans(fs, run_dir: str, keep: set[str]) -> list[str]:
+    """Delete .parquet files in ``run_dir`` not in ``keep`` (base
+    names). Safe because each encode job writes into its own fresh run
+    dir: anything unreferenced there is a lost/retried task attempt."""
+    swept = []
+    for name in fs.listdir(run_dir):
+        if name.endswith(".parquet") and name not in keep:
+            fs.delete(posixpath.join(run_dir, name))
+            swept.append(name)
+    return swept
 
 
 def _has_parquet(fs, d: str) -> bool:
@@ -517,11 +649,15 @@ def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
                         **kw) -> DataFrame:
     """encode() over a parquet directory via the fast file-split source;
     one footer pass discovers splits, the row count for salting, and the
-    byte size for task sizing."""
+    byte size for task sizing. Defaults to the direct task-side write
+    (pages parquet never crosses the Arrow boundary back to the JVM):
+    measured at 149M tokens/local[32] it is ~13% faster warm with far
+    tighter walls (2.5-2.9 s vs 2.9-11.5 s) and byte-equal output."""
     splits, n_rows, n_bytes = parquet_splits(src_dir, return_stats=True)
     kw.setdefault("n_salts", part.salts_for(n_rows))
     kw.setdefault("partitions", max(spark.sparkContext.defaultParallelism,
                                     n_bytes // TARGET_TASK_BYTES))
+    kw.setdefault("direct_write", True)
     return encode(spark, pack_source(spark, src_dir, splits), out_root, **kw)
 
 
