@@ -54,17 +54,25 @@ def _doc_stats(values: np.ndarray, offsets: np.ndarray):
     if nz.any():
         dmax[nz] = np.maximum.reduceat(values, starts[nz])
         dmin[nz] = np.minimum.reduceat(values, starts[nz])
-    # changes + sortedness inside each doc via cumsum of pairwise flags
-    # (int32 accumulators: chunk sizes are budget-bounded << 2^31)
+    # changes + sortedness inside each doc: pairwise flags summed per
+    # doc with add.reduceat — no full-length cumsum materialization
+    # (int32 accumulators: chunk sizes are budget-bounded << 2^31).
+    # Flags at doc-start positions are zeroed so cross-doc pairs never
+    # count; empty docs share their start with the next doc, so the
+    # nonempty-doc segments [start_i, start_{i+1}) tile values exactly.
     if len(values) > 1:
-        neq = np.concatenate(([0], (values[1:] != values[:-1]).view(np.int8)))
-        le = np.concatenate(([0], (values[1:] >= values[:-1]).view(np.int8)))
-        cn = np.cumsum(neq, dtype=np.int32)
-        cl = np.cumsum(le, dtype=np.int32)
-        # flags at doc boundary positions don't count: subtract boundary flag
-        last = np.maximum(ends - 1, starts)
-        changes = cn[last] - cn[starts]
-        nondecr = (cl[last] - cl[starts]) == np.maximum(lens - 1, 0)
+        n = len(values)
+        neq = np.zeros(n, dtype=np.int32)
+        le = np.zeros(n, dtype=np.int32)
+        neq[1:] = values[1:] != values[:-1]
+        le[1:] = values[1:] >= values[:-1]
+        inb = starts[nz]  # starts of nonempty docs, all < n
+        neq[inb] = 0
+        le[inb] = 0
+        changes = np.zeros(len(lens), dtype=np.int64)
+        changes[nz] = np.add.reduceat(neq, inb)
+        nondecr = np.ones(len(lens), dtype=bool)
+        nondecr[nz] = np.add.reduceat(le, inb) == (lens[nz] - 1)
     else:
         changes = np.zeros(len(lens), dtype=np.int64)
         nondecr = np.ones(len(lens), dtype=bool)
@@ -72,7 +80,11 @@ def _doc_stats(values: np.ndarray, offsets: np.ndarray):
     # proxy; 64 draws separate a ~200-symbol vocabulary (E[distinct]
     # ~55) from a large one (E ~64))
     k = 64
-    win = np.full((len(lens), k), np.int64(-1))
+    # sort a 32-bit window when every value fits (tokens are int32 by
+    # contract): same comparisons, same card, half the sort traffic
+    small = (not nz.any()) or (dmin[nz].min() >= -(1 << 31)
+                               and dmax[nz].max() < (1 << 31))
+    win = np.full((len(lens), k), -1, dtype=np.int32 if small else np.int64)
     take = np.minimum(lens, k)
     prefix = np.concatenate(([0], np.cumsum(take)[:-1]))
     intra = np.arange(int(take.sum())) - np.repeat(prefix, take)

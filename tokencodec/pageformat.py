@@ -70,6 +70,11 @@ def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,
     n = len(v)
     raw_size = n * (4 if kind == KIND_INT32 else 8)
     st = stats.int_stats(v)
+    if kind == KIND_INT32 and (st.vmin < -(1 << 31) or st.vmax >= (1 << 31)):
+        # fail fast: PLAIN stores 4-byte values, so out-of-range input
+        # would silently truncate (the token contract is array<int32>)
+        raise ValueError(
+            f"value range [{st.vmin}, {st.vmax}] does not fit an INT32 page")
     if codec is None:
         codec = select.choose_int_codec(st, kind)
 
