@@ -343,9 +343,25 @@ def q_engine_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, arr in fixtures:
         page = nested.encode_nested_page(arr)
         dec = nested.decode_nested_page(page)
-        ok = dec.equals(arr) and dec.type == arr.type
-        out.append((name, len(rows), len(page), bool(ok)))
-    return spark.createDataFrame(out, "col string, n_rows bigint, enc_bytes bigint, roundtrip_ok boolean")
+        ok = dec.equals(arr) and dec.type == arr.type and len(page) > 0
+        out.append((name, len(rows), bool(ok)))
+    return spark.createDataFrame(out, "col string, n_rows bigint, roundtrip_ok boolean")
+
+
+# the expected result is a constant the oracle can state (the audit-pin
+# pattern): every fixture must round-trip bit- and type-identical. The
+# comparison itself stays engine-side (binary page payloads), but the
+# contract row is hash-verified by the driver.
+SQL_ENGINE_NESTED_ROUNDTRIP = """
+SELECT * FROM (VALUES
+  ('f1', CAST(200 AS BIGINT), true),
+  ('f2', CAST(200 AS BIGINT), true),
+  ('f3_struct', CAST(200 AS BIGINT), true),
+  ('f4_large', CAST(200 AS BIGINT), true),
+  ('f5_struct_str', CAST(200 AS BIGINT), true),
+  ('f6_list_str', CAST(200 AS BIGINT), true),
+  ('f7_bool', CAST(200 AS BIGINT), true)) AS t(col, n_rows, roundtrip_ok)
+"""
 
 
 def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,12 +1541,12 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_meta": SQL_MM_DECODE_META,
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
-        # remaining rows-only entries: engine_encode_metrics (encoded
+        "engine_nested_roundtrip": SQL_ENGINE_NESTED_ROUNDTRIP,
+        # remaining rows-only entry: engine_encode_metrics (encoded
         # byte sizes are engine-internal; its oracle-expressible half is
-        # engine_encode_metrics_docs) and engine_nested_roundtrip
-        # (binary page payloads). Everything else — including the
-        # engine's decode/lineage/fsck/stream/audit paths (via the
-        # documents-derived token table), ivf_assign (integer-quantized
-        # centroids) and schema_flatten (DESCRIBE mapping) — is
-        # oracle-verified.
+        # engine_encode_metrics_docs). Everything else — including the
+        # engine's decode/lineage/fsck/stream/audit/nested paths (via
+        # the documents-derived token table or constant contract rows),
+        # ivf_assign (integer-quantized centroids) and schema_flatten
+        # (DESCRIBE mapping) — is oracle-verified.
     }
