@@ -121,6 +121,8 @@ def main() -> None:
                 "best_overall_efficiency"),
             "large_corpus_2_to_8": (big.get("pair_2_to_8") or {}).get(
                 "warm_min_efficiency"),
+            "large_corpus_2_to_8_best": (big.get("pair_2_to_8") or {}).get(
+                "best_overall_efficiency"),
             "details": "BENCH_SCALING.json",
         }
 

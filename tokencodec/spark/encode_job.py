@@ -295,7 +295,7 @@ META_DDL = ("grp int, file string, n_chunks bigint, n_rows bigint, "
 
 def make_direct_writer(run_dir: str, parquet_codec: str,
                        max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-                       commit_groups: int = 1):
+                       commit_groups: int = 1, uid_prefix: str | None = None):
     """mapInArrow function: encode AND write pages parquet inside the
     task (Iceberg's write pattern — tasks produce data files, the
     driver commits the file list). Skips the classic path's two costs:
@@ -305,7 +305,8 @@ def make_direct_writer(run_dir: str, parquet_codec: str,
     an orphan file that the driver's post-job sweep (or snapshot GC)
     removes — the manifest lists exactly the files of attempts whose
     result row was collected."""
-    inner = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
+    inner = make_encoder(max_chunk_tokens, uid_prefix=uid_prefix,
+                         commit_groups=commit_groups)
     schema = pa.schema(_PAGES_TYPES)
 
     def write_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
