@@ -185,3 +185,44 @@ def test_stream_then_compact_then_stream(spark, tmp_path):
     expected = df1.unionByName(df2)
     res = decode_job.audit(expected, decode_job.decode(spark, root), strict=True)
     assert res == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_file_granular_compact_keeps_big_files(spark, tmp_path):
+    """Iceberg's rewrite-data-files semantics: only committed files
+    below the size threshold are read and rewritten; bigger files stay
+    referenced under their original paths, and the table decodes
+    identically."""
+    from tokencodec.spark import decode_job, synth
+
+    df = synth.token_table(spark, 800, seed=3)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    root = str(tmp_path / "t")
+    encode_job.encode_from_parquet(spark, src, root, commit_groups=2,
+                                   max_chunk_tokens=2000)
+    tbl = SnapshotTable(root)
+    files = tbl.data_paths()
+    sizes = {p: tbl.fs.size(p) for p in files}
+    biggest = max(sizes.values())
+    big_files = {p for p, s in sizes.items() if s == biggest}
+    assert len(big_files) < len(files), "need a size spread for this test"
+
+    before = encode_job.read_pages(spark, root).count()
+    snap = maintenance.compact(spark, root, max_chunk_tokens=1 << 21,
+                               small_file_bytes=biggest)
+    after_paths = set(tbl.data_paths())
+    # big files survive under their exact original paths
+    assert big_files <= after_paths
+    # everything selected was replaced by the new run's files
+    assert not (set(files) - big_files) & after_paths
+    assert snap["metrics"]["kept_files"] == len(big_files)
+    # fewer chunks, identical rows
+    assert encode_job.read_pages(spark, root).count() < before
+    dec = decode_job.decode(spark, root)
+    assert decode_job.audit(spark.read.parquet(src), dec)["ok"]
+    # whole-table metrics stay table-scoped despite the partial rewrite
+    pages = encode_job.read_pages(spark, root)
+    agg = pages.groupBy().sum("n_rows", "n_tokens").collect()[0]
+    assert snap["metrics"]["n_rows"] == agg[0]
+    assert snap["metrics"]["n_tokens"] == agg[1]
+    assert snap["metrics"]["n_chunks"] == pages.count()

@@ -60,6 +60,12 @@ class LocalFS:
     def listdir(self, path: str) -> list[str]:
         return os.listdir(self._p(path))
 
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
     def delete(self, path: str, recursive: bool = False) -> None:
         p = self._p(path)
         if os.path.isdir(p):
@@ -156,6 +162,12 @@ class HadoopFS:
     def listdir(self, path: str) -> list[str]:
         return [st.getPath().getName()
                 for st in self._fs.listStatus(self._p(path))]
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._fs.getFileStatus(self._p(path)).isDirectory())
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
 
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)

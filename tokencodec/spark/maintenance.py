@@ -109,14 +109,33 @@ def _merge_batches(uid_prefix: str):
 
 def compact(spark: SparkSession, root: str,
             max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-            parquet_codec: str = "zstd") -> dict:
+            parquet_codec: str = "zstd",
+            small_file_bytes: int = 64 << 20) -> dict:
     """Merge under-filled chunks; replace-commit the new layout.
-    Returns the new snapshot dict (or the current one if nothing to do)."""
+    Returns the new snapshot dict (or the current one if nothing to do).
+
+    FILE-GRANULAR (Iceberg's rewrite-data-files): when every committed
+    path is a file (the direct-write default), only files smaller than
+    ``small_file_bytes`` are read and rewritten — healthy big files stay
+    referenced untouched, so one compaction pass costs O(small files),
+    not O(table). Legacy tables with directory paths fall back to the
+    whole-table rewrite. Commit metrics are derived from metadata-column
+    aggregates (no post-write read-back of page blobs)."""
     tbl = SnapshotTable(root)
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    pages = read_pages(spark, root)
+    all_paths = [p for ps in snap["groups"].values() for p in ps]
+    if not all_paths:
+        return snap
+    file_mode = all(not tbl.fs.isdir(p) for p in all_paths)
+    if file_mode:
+        selected = [p for p in all_paths if tbl.fs.size(p) < small_file_bytes]
+    else:
+        selected = all_paths
+    if not selected:
+        return snap
+    pages = spark.read.schema(PAGES_DDL).parquet(*selected)
     pages = pages.na.fill({"doc_part": 0, "doc_parts": 1})
 
     mergeable = (F.col("doc_parts") == 1) & (F.col("n_tokens") < max_chunk_tokens // 2)
@@ -149,23 +168,50 @@ def compact(spark: SparkSession, root: str,
               .sortWithinPartitions("bucket", "salt", "gid", "chunk_uid")
               .select("bucket", "salt", "gid", *_PAGE_COLS)
               .mapInArrow(_merge_batches(uid_prefix), PAGES_DDL))
+    # non-mergeable chunks living in selected files ride along verbatim
+    # (their file is being dropped); chunks in unselected files are
+    # never read or rewritten
     untouched = marked.join(counts, ["bucket", "salt", "gid"],
                             "left_anti").select(*merged.columns)
     out = untouched.unionByName(merged)
+    from pyspark.sql import Observation
+    obs = Observation()
+    out = out.observe(obs,
+                      F.count(F.lit(1)).alias("n_chunks"),
+                      F.sum("enc_bytes").alias("enc_bytes"))
     run_dir = tbl.new_run_dir()
     (out.write.mode("overwrite").option("compression", parquet_codec)
         .parquet(run_dir))
-    m = spark.read.parquet(run_dir).agg(
-        F.count("*").alias("n_chunks"), F.sum("n_rows").alias("n_rows"),
-        F.sum("n_tokens").alias("n_tokens"), F.sum("enc_bytes").alias("enc_bytes"),
-        F.max("doc_parts").alias("max_doc_parts")).collect()[0].asDict()
-    m = {k: int(v or 0) for k, v in m.items()}
-    m["compacted_chunks"] = int(n_todo)
-    m["op"] = "compact"
-    # the rewrite spans every group: all group keys now point at the one
-    # rewritten run dir (their union is exactly the table's rows)
-    new_groups = {k: [run_dir] if i == 0 else []
-                  for i, k in enumerate(sorted(snap["groups"]))}
+    written = {k: int(v or 0) for k, v in obs.get.items()}
+    # table-wide metrics = whole-table metadata aggregate, minus the
+    # selected files' contribution, plus what was just written — one
+    # metadata-column scan, page blobs never re-read
+    tot = (read_pages(spark, root).na.fill({"doc_parts": 1})
+           .agg(F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.max("doc_parts").alias("max_doc_parts"))
+           .collect()[0].asDict())
+    tot = {k: int(v or 0) for k, v in tot.items()}
+    sel = (pages.agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum("enc_bytes").alias("enc_bytes"))
+           .collect()[0].asDict())
+    m = {"n_chunks": tot["n_chunks"] - int(sel["n_chunks"] or 0) + written["n_chunks"],
+         "n_rows": tot["n_rows"], "n_tokens": tot["n_tokens"],
+         "enc_bytes": tot["enc_bytes"] - int(sel["enc_bytes"] or 0) + written["enc_bytes"],
+         "max_doc_parts": tot["max_doc_parts"],
+         "compacted_chunks": int(n_todo),
+         "kept_files": len(all_paths) - len(selected),
+         "op": "compact"}
+    # every group keeps its unselected files; the rewritten run dir is
+    # attached to the first group key (chunk group identity lives in the
+    # chunk_uid prefix, not in which file holds the chunk)
+    sel_set = set(selected)
+    new_groups = {}
+    for i, k in enumerate(sorted(snap["groups"])):
+        survivors = [p for p in snap["groups"][k] if p not in sel_set]
+        new_groups[k] = ([run_dir] if i == 0 else []) + survivors
     return tbl.commit(new_groups, metrics=m, replace=True)
 
 
