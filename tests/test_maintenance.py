@@ -211,6 +211,9 @@ def test_file_granular_compact_keeps_big_files(spark, tmp_path):
     snap = maintenance.compact(spark, root, max_chunk_tokens=1 << 21,
                                small_file_bytes=biggest)
     after_paths = set(tbl.data_paths())
+    # the rewrite itself is committed as files, so the NEXT compaction
+    # stays file-granular too
+    assert all(not tbl.fs.isdir(p) for p in after_paths)
     # big files survive under their exact original paths
     assert big_files <= after_paths
     # everything selected was replaced by the new run's files

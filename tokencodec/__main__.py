@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
              "(replace-commit; decoded rows are unchanged)")
     cmp_.add_argument("root")
     cmp_.add_argument("--max-chunk-tokens", type=int, default=1 << 20)
+    cmp_.add_argument("--small-file-bytes", type=int, default=64 << 20,
+                      help="file-granular mode: only committed files below "
+                           "this size are read and rewritten")
 
     exp = sub.add_parser(
         "expire-snapshots",
@@ -128,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from tokencodec.spark import maintenance
             snap = maintenance.compact(spark, args.root,
-                                       max_chunk_tokens=args.max_chunk_tokens)
+                                       max_chunk_tokens=args.max_chunk_tokens,
+                                       small_file_bytes=args.small_file_bytes)
             print(json.dumps({"snapshot_id": snap["snapshot_id"],
                               "metrics": snap.get("metrics", {})}))
         elif args.cmd == "fsck":

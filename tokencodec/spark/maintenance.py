@@ -183,6 +183,12 @@ def compact(spark: SparkSession, root: str,
     (out.write.mode("overwrite").option("compression", parquet_codec)
         .parquet(run_dir))
     written = {k: int(v or 0) for k, v in obs.get.items()}
+    # commit the written FILES, not the run dir, so the rewritten data
+    # stays file-granular for the next compaction (Spark's output
+    # committer has already cleaned attempt temporaries)
+    new_files = sorted(
+        posixpath.join(run_dir, n) for n in tbl.fs.listdir(run_dir)
+        if n.endswith(".parquet"))
     # table-wide metrics = whole-table metadata aggregate, minus the
     # selected files' contribution, plus what was just written — one
     # metadata-column scan, page blobs never re-read
@@ -211,7 +217,7 @@ def compact(spark: SparkSession, root: str,
     new_groups = {}
     for i, k in enumerate(sorted(snap["groups"])):
         survivors = [p for p in snap["groups"][k] if p not in sel_set]
-        new_groups[k] = ([run_dir] if i == 0 else []) + survivors
+        new_groups[k] = (new_files if i == 0 else []) + survivors
     return tbl.commit(new_groups, metrics=m, replace=True)
 
 
