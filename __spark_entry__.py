@@ -55,14 +55,17 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
     """Encode a deterministic synth token table sized off the sf dir."""
     from tokencodec.spark import encode_job, synth
     n_rows = _t(spark, sf_dir, "documents").count() * 4
-    root = f"/tmp/tokencodec_entry/v3_n{n_rows}_s{SEED}"
+    root = f"/tmp/tokencodec_entry/v4_n{n_rows}_s{SEED}"
     key = root
     if key not in _ENGINE_CACHE:
         # encode() unconditionally: a complete table is a manifest-only
         # no-op, a partially committed one (earlier crashed run) RESUMES
         # instead of being served half-decoded forever
         df = synth.token_table(spark, n_rows, seed=SEED)
-        encode_job.encode(spark, df, root, commit_groups=2)
+        # direct task-side write: the shipped fast path is what the
+        # oracle queries downstream verify
+        encode_job.encode(spark, df, root, commit_groups=2,
+                          direct_write=True)
         _ENGINE_CACHE[key] = root
     return root
 
@@ -140,11 +143,12 @@ def _docs_root(spark: SparkSession, sf_dir: str) -> str:
     from tokencodec.spark import encode_job
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docs_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/docs_v2_n{n}"
     if root not in _ENGINE_CACHE:
         # unconditional: no-op when complete, resume when partial
         encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
-                          commit_groups=2, max_chunk_tokens=64)
+                          commit_groups=2, max_chunk_tokens=64,
+                          direct_write=True)
         _ENGINE_CACHE[root] = root
     return root
 
@@ -234,11 +238,12 @@ def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tokencodec.spark import decode_job, encode_job, maintenance
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/cmp_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/cmp_v2_n{n}"
     key = root + "/compacted"
     if key not in _ENGINE_CACHE:
         encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
-                          commit_groups=2, max_chunk_tokens=48)
+                          commit_groups=2, max_chunk_tokens=48,
+                          direct_write=True)
         snap = SnapshotTable(root).current_snapshot()
         # idempotent across driver runs: a table this query compacted in
         # an earlier process has nothing left to merge
