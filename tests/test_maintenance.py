@@ -229,3 +229,25 @@ def test_file_granular_compact_keeps_big_files(spark, tmp_path):
     assert snap["metrics"]["n_rows"] == agg[0]
     assert snap["metrics"]["n_tokens"] == agg[1]
     assert snap["metrics"]["n_chunks"] == pages.count()
+
+
+def test_expire_removes_emptied_run_dirs(spark, tmp_path):
+    """File-granular deletes must not strand empty run directories."""
+    from tokencodec.spark import synth
+
+    df = synth.token_table(spark, 300, seed=5)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    root = str(tmp_path / "t")
+    encode_job.encode_from_parquet(spark, src, root, commit_groups=1,
+                                   max_chunk_tokens=2000)
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    res = maintenance.expire_snapshots(root, keep_last=1)
+    assert res["expired_snapshots"] == 1
+    data = os.path.join(root, "data")
+    run_dirs = [os.path.join(data, d) for d in os.listdir(data)]
+    live = set(SnapshotTable(root).data_paths())
+    for d in run_dirs:
+        names = os.listdir(d)
+        assert any(n.endswith(".parquet") for n in names), f"empty run dir {d}"
+        assert any(os.path.join(d, n) in live for n in names)

@@ -235,6 +235,16 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
     for p in sorted(dead):
         tbl.fs.delete(p, recursive=True)
+    # drop run dirs emptied by file-granular deletes (file-list commits
+    # delete individual parquet files; their parent run dir may now hold
+    # nothing, or only Spark's _SUCCESS marker)
+    parents = {p.rsplit("/", 1)[0] for p in dead if "/" in p}
+    live_parents = {p.rsplit("/", 1)[0] for p in live if "/" in p} | live
+    for d in sorted(parents - live_parents):
+        if tbl.fs.exists(d) and tbl.fs.isdir(d):
+            left = tbl.fs.listdir(d)
+            if not any(n.endswith(".parquet") for n in left):
+                tbl.fs.delete(d, recursive=True)
     for s in drop:
         tbl.fs.delete(posixpath.join(
             tbl.manifest_dir, f"snapshot-{s['snapshot_id']:06d}.json"))
