@@ -144,3 +144,26 @@ def test_fast_source_defaults_to_direct(spark, tmp_path):
     srcdf = spark.read.parquet(src).select("doc_id", "tokens", "n_tok", "source")
     assert dec.select("doc_id", "tokens", "n_tok", "source").exceptAll(srcdf).count() == 0
     assert srcdf.exceptAll(dec.select("doc_id", "tokens", "n_tok", "source")).count() == 0
+
+
+def test_table_totals_chain(spark, tmp_path):
+    """Every commit carries cumulative table_totals equal to a real
+    aggregate, so maintenance can size the table from the manifest."""
+    df = synth.token_table(spark, N_ROWS, seed=SEED)
+    root = str(tmp_path / "t")
+    encode_job.encode(spark, df, root, commit_groups=2,
+                      max_chunk_tokens=1 << 17, direct_write=True)
+    from tokencodec.spark import streaming
+    src2 = str(tmp_path / "more")
+    synth.token_table(spark, 100, seed=SEED + 1).write.parquet(src2)
+    streaming.encode_stream(spark, src2, root)
+
+    snap = SnapshotTable(root).current_snapshot()
+    totals = snap["metrics"]["table_totals"]
+    pages = encode_job.read_pages(spark, root)
+    agg = pages.groupBy().agg(
+        {"n_rows": "sum", "n_tokens": "sum", "enc_bytes": "sum"}).collect()[0]
+    assert totals["n_chunks"] == pages.count()
+    assert totals["n_rows"] == agg["sum(n_rows)"]
+    assert totals["n_tokens"] == agg["sum(n_tokens)"]
+    assert totals["enc_bytes"] == agg["sum(enc_bytes)"]

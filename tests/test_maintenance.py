@@ -251,3 +251,67 @@ def test_expire_removes_emptied_run_dirs(spark, tmp_path):
         names = os.listdir(d)
         assert any(n.endswith(".parquet") for n in names), f"empty run dir {d}"
         assert any(os.path.join(d, n) in live for n in names)
+
+
+def test_expire_mixed_dir_and_file_commits_keeps_live_data(spark, tmp_path):
+    """A legacy dir-granular snapshot superseded by a file-granular
+    rewrite must expire without touching the live files: the dead run
+    DIR's parent is {root}/data, and sweeping that would destroy every
+    sibling run dir (regression test for exactly that)."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 300, seed=21)
+    # classic write commits the run DIRECTORY (legacy granularity)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=2000)
+    assert any(SnapshotTable(root).fs.isdir(p)
+               for p in SnapshotTable(root).data_paths())
+    # file-granular rewrite supersedes it
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 21)
+    live = SnapshotTable(root).data_paths()
+    assert all(not SnapshotTable(root).fs.isdir(p) for p in live)
+
+    maintenance.expire_snapshots(root, keep_last=1)
+    assert os.path.isdir(os.path.join(root, "data"))
+    for p in live:
+        assert os.path.isfile(p), f"live file destroyed: {p}"
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crashed-job run dirs (referenced by no snapshot) are deleted once
+    old enough; fresh ones and referenced ones are never touched."""
+    import time
+
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 200, seed=7)
+    encode_job.encode(spark, df, root, commit_groups=1,
+                      max_chunk_tokens=2000, direct_write=True)
+    data = os.path.join(root, "data")
+    live_dirs = set(os.listdir(data))
+
+    old_orphan = os.path.join(data, "run-deadbeef0001")
+    os.makedirs(old_orphan)
+    open(os.path.join(old_orphan, "part-0.parquet"), "wb").write(b"x")
+    past = time.time() - 48 * 3600
+    os.utime(old_orphan, (past, past))
+    fresh_orphan = os.path.join(data, "run-deadbeef0002")
+    os.makedirs(fresh_orphan)
+
+    res = maintenance.remove_orphan_files(root, older_than_hours=24)
+    assert res == {"deleted_orphan_dirs": 1}
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_orphan)  # age guard: in-flight writer
+    assert live_dirs <= set(os.listdir(data))
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # the fresh orphan ages out too
+    os.utime(fresh_orphan, (past, past))
+    assert maintenance.remove_orphan_files(root, older_than_hours=24) \
+        == {"deleted_orphan_dirs": 1}
+
+
+def test_direct_write_probe():
+    """URI capability probe: plain paths and pyarrow-resolvable URIs
+    pass; Hadoop-only spellings fall back to the classic JVM write."""
+    assert encode_job.direct_write_supported("/tmp/x")
+    assert encode_job.direct_write_supported("file:///tmp/x")
+    assert not encode_job.direct_write_supported("s3a://bucket/x")
+    assert not encode_job.direct_write_supported("nosuchscheme://x/y")

@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
                       help="file-granular mode: only committed files below "
                            "this size are read and rewritten")
 
+    orph = sub.add_parser(
+        "remove-orphans",
+        help="delete run dirs referenced by no snapshot (crashed-job debris)")
+    orph.add_argument("root")
+    orph.add_argument("--older-than-hours", type=float, default=24.0)
+
     exp = sub.add_parser(
         "expire-snapshots",
         help="drop old snapshot manifests and delete files only they reference")
@@ -79,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "expire-snapshots":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import expire_snapshots
         print(json.dumps(expire_snapshots(args.root, keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "remove-orphans":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import remove_orphan_files
+        print(json.dumps(remove_orphan_files(
+            args.root, older_than_hours=args.older_than_hours)))
         return 0
 
     if args.cmd == "snapshots":  # no Spark needed

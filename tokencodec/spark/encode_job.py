@@ -284,6 +284,43 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
     return encode_batches
 
 
+_TOTAL_KEYS = ("n_chunks", "n_rows", "n_tokens", "enc_bytes")
+
+
+def next_table_totals(parent: dict | None, delta: dict) -> dict | None:
+    """Cumulative whole-table metrics carried in every snapshot's
+    ``metrics.table_totals`` so maintenance never needs a table scan to
+    know table size. None when the chain predates the field (resuming a
+    legacy table) — consumers then fall back to aggregating. Advisory
+    under concurrent committers (an optimistic-retry rebase keeps the
+    metrics computed against the losing parent); fsck remains the
+    ground truth."""
+    if parent is None:
+        base = dict.fromkeys(_TOTAL_KEYS, 0)
+    else:
+        base = parent.get("metrics", {}).get("table_totals")
+        if base is None:
+            return None
+    return {k: int(base[k]) + int(delta.get(k, 0)) for k in _TOTAL_KEYS}
+
+
+def direct_write_supported(path: str) -> bool:
+    """True when pyarrow can address ``path`` from inside workers.
+    Plain local paths always qualify; URI roots only if pyarrow's C++
+    filesystem layer resolves the scheme (file://, s3://, gs://, and
+    hdfs:// with libhdfs — but NOT Hadoop-only spellings like s3a://,
+    which the JVM writer handles). Callers fall back to the classic
+    JVM write when this is False."""
+    if "://" not in path:
+        return True
+    try:
+        from pyarrow import fs as pafs
+        pafs.FileSystem.from_uri(path)
+        return True
+    except Exception:
+        return False
+
+
 # one summary row per (task, commit group) written file — small enough
 # to collect on the driver at any scale (files, not chunks: a 100-TB
 # run with 100k tasks x 2 groups collects 200k rows; per-chunk lineage
@@ -411,7 +448,6 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     if partitions is None:
         # 4x tasks per core smooths (bucket, salt) group-size stragglers
         partitions = spark.sparkContext.defaultParallelism * 4
-    encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
     t0 = time.time()
     sub = df
     if len(remaining) < commit_groups:
@@ -422,6 +458,14 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                      F.lit(commit_groups))
         sub = df.filter(grp.isin([int(g) for g in remaining]))
     bucketed = part.bucketed(sub, n_salts=n_salts, partitions=partitions)
+    if direct_write and not direct_write_supported(out_root):
+        # Hadoop-only scheme (e.g. hdfs:// without libhdfs): the JVM
+        # writer handles it, pyarrow in workers cannot — fall back
+        import warnings
+        warnings.warn(f"direct_write unsupported for {out_root}: "
+                      "pyarrow cannot resolve the scheme in workers; "
+                      "using the classic JVM write")
+        direct_write = False
     if direct_write:
         run_dir = tbl.new_run_dir()
         tbl.fs.mkdirs(run_dir)
@@ -433,6 +477,11 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         # only files whose result row was collected are real
         _sweep_orphans(tbl.fs, run_dir,
                        {r["file"].rsplit("/", 1)[-1] for r in meta})
+        if not meta:
+            # zero-row source: nothing written — drop the run dir
+            # instead of stranding it unreferenced forever
+            tbl.fs.delete(run_dir, recursive=True)
+        parent = tbl.current_snapshot()
         for g in remaining:
             rows = [r for r in meta if r["grp"] == g]
             m = {"n_chunks": sum(r["n_chunks"] for r in rows),
@@ -446,8 +495,13 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             if rows:
                 m["pass_wall_sec"] = round(wall, 3)
                 m["pass_groups"] = len(remaining)
-            tbl.commit({f"g{g}": sorted(r["file"] for r in rows)}, metrics=m)
+            totals = next_table_totals(parent, m)
+            if totals is not None:
+                m["table_totals"] = totals
+            parent = tbl.commit({f"g{g}": sorted(r["file"] for r in rows)},
+                                metrics=m)
         return read_pages(spark, out_root)
+    encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
     pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
     # per-group commit metrics ride along with the write action itself
     # (Observation aggregates during the job) — the former read-back of
@@ -487,20 +541,26 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         group_dirs = {g: os.path.join(run_dir, f"grp={g}") for g in remaining}
     wall = time.time() - t0
     observed = obs.get
+    parent = tbl.current_snapshot()
     for g in remaining:
         gdir = group_dirs[g]
         m = {name: int(observed[f"{name}_{g}"] or 0) for name in _METRIC_AGGS}
         m["scheme"] = scheme
+        totals = next_table_totals(parent, m)
         # a group with zero rows may leave no dir (partitionBy) or a dir
         # with only _SUCCESS (commit_groups=1): either way commit an
         # empty path list so resume knows the group is done and readers
         # see a valid empty table
         if m["n_chunks"] == 0 or not _has_parquet(tbl.fs, gdir):
-            tbl.commit({f"g{g}": []}, metrics=m)
+            if totals is not None:
+                m["table_totals"] = totals
+            parent = tbl.commit({f"g{g}": []}, metrics=m)
             continue
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
-        tbl.commit({f"g{g}": [gdir]}, metrics=m)
+        if totals is not None:
+            m["table_totals"] = totals
+        parent = tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 
 

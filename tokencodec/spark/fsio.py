@@ -66,6 +66,9 @@ class LocalFS:
     def size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
+
     def delete(self, path: str, recursive: bool = False) -> None:
         p = self._p(path)
         if os.path.isdir(p):
@@ -168,6 +171,9 @@ class HadoopFS:
 
     def size(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
 
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)

@@ -189,17 +189,26 @@ def compact(spark: SparkSession, root: str,
     new_files = sorted(
         posixpath.join(run_dir, n) for n in tbl.fs.listdir(run_dir)
         if n.endswith(".parquet"))
-    # table-wide metrics = whole-table metadata aggregate, minus the
-    # selected files' contribution, plus what was just written — one
-    # metadata-column scan, page blobs never re-read
-    tot = (read_pages(spark, root).na.fill({"doc_parts": 1})
-           .agg(F.count(F.lit(1)).alias("n_chunks"),
-                F.sum("n_rows").alias("n_rows"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.max("doc_parts").alias("max_doc_parts"))
-           .collect()[0].asDict())
-    tot = {k: int(v or 0) for k, v in tot.items()}
+    # table-wide metrics = whole-table totals, minus the selected files'
+    # contribution, plus what was just written. Totals come free from
+    # the chain's cumulative metrics.table_totals when every commit
+    # carries it; a legacy chain pays one metadata-column aggregate over
+    # all committed files instead (page blobs never re-read either way)
+    from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
+    base = snap.get("metrics", {}).get("table_totals")
+    mdp = _max_doc_parts_from_manifest(root, None)
+    if base is not None and mdp is not None:
+        tot = {k: int(v) for k, v in base.items()}
+        tot["max_doc_parts"] = int(mdp)
+    else:
+        tot = (read_pages(spark, root).na.fill({"doc_parts": 1})
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("enc_bytes").alias("enc_bytes"),
+                    F.max("doc_parts").alias("max_doc_parts"))
+               .collect()[0].asDict())
+        tot = {k: int(v or 0) for k, v in tot.items()}
     sel = (pages.agg(F.count(F.lit(1)).alias("n_chunks"),
                      F.sum("enc_bytes").alias("enc_bytes"))
            .collect()[0].asDict())
@@ -210,6 +219,9 @@ def compact(spark: SparkSession, root: str,
          "compacted_chunks": int(n_todo),
          "kept_files": len(all_paths) - len(selected),
          "op": "compact"}
+    # re-anchor the cumulative chain: compact's metrics ARE table-wide
+    m["table_totals"] = {k: m[k] for k in
+                         ("n_chunks", "n_rows", "n_tokens", "enc_bytes")}
     # every group keeps its unselected files; the rewritten run dir is
     # attached to the first group key (chunk group identity lives in the
     # chunk_uid prefix, not in which file holds the chunk)
@@ -219,6 +231,38 @@ def compact(spark: SparkSession, root: str,
         survivors = [p for p in snap["groups"][k] if p not in sel_set]
         new_groups[k] = (new_files if i == 0 else []) + survivors
     return tbl.commit(new_groups, metrics=m, replace=True)
+
+
+def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
+    """Delete data/run-* entries referenced by NO snapshot and last
+    modified more than ``older_than_hours`` ago — Iceberg's
+    remove-orphan-files. These are the debris of jobs that crashed
+    between writing a run dir and committing it (both write paths can
+    leave them); readers never see them, but they accumulate. The age
+    guard protects a concurrent writer's in-flight run dir — never set
+    it below your longest plausible job wall time."""
+    import time as _time
+
+    tbl = SnapshotTable(root)
+    referenced: set[str] = set()
+    for s in tbl.snapshots():
+        for ps in s["groups"].values():
+            for p in ps:
+                referenced.add(p)
+                referenced.add(p.rsplit("/", 1)[0])  # file's run dir
+    data_dir = posixpath.join(root, "data")
+    cutoff = _time.time() - older_than_hours * 3600
+    deleted = 0
+    if tbl.fs.exists(data_dir):
+        for name in sorted(tbl.fs.listdir(data_dir)):
+            if not name.startswith("run-"):
+                continue
+            p = posixpath.join(data_dir, name)
+            if p in referenced or tbl.fs.mtime(p) > cutoff:
+                continue
+            tbl.fs.delete(p, recursive=True)
+            deleted += 1
+    return {"deleted_orphan_dirs": deleted}
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> dict:
@@ -237,11 +281,18 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
         tbl.fs.delete(p, recursive=True)
     # drop run dirs emptied by file-granular deletes (file-list commits
     # delete individual parquet files; their parent run dir may now hold
-    # nothing, or only Spark's _SUCCESS marker)
-    parents = {p.rsplit("/", 1)[0] for p in dead if "/" in p}
+    # nothing, or only Spark's _SUCCESS marker). Candidates are ONLY the
+    # parents of dead FILE paths and only run-* dirs themselves: a dead
+    # DIRECTORY path (legacy dir-granular commit) has {root}/data as its
+    # parent, and sweeping that would destroy every sibling run dir —
+    # including the live ones, whose parquet files are invisible to a
+    # non-recursive listdir of data/.
+    parents = {p.rsplit("/", 1)[0] for p in dead
+               if "/" in p and p.endswith(".parquet")}
     live_parents = {p.rsplit("/", 1)[0] for p in live if "/" in p} | live
     for d in sorted(parents - live_parents):
-        if tbl.fs.exists(d) and tbl.fs.isdir(d):
+        if (d.rsplit("/", 1)[-1].startswith("run-")
+                and tbl.fs.exists(d) and tbl.fs.isdir(d)):
             left = tbl.fs.listdir(d)
             if not any(n.endswith(".parquet") for n in left):
                 tbl.fs.delete(d, recursive=True)

@@ -18,8 +18,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from tokencodec.spark import partition as part
-from tokencodec.spark.encode_job import (META_DDL, _COLS, _sweep_orphans,
-                                         make_direct_writer)
+from tokencodec.spark.encode_job import (META_DDL, PAGES_DDL, _COLS,
+                                         _sweep_orphans,
+                                         direct_write_supported,
+                                         make_direct_writer, make_encoder,
+                                         next_table_totals)
 from tokencodec.spark.synth import SCHEMA_DDL
 from tokencodec.spark.table import SnapshotTable
 
@@ -42,26 +45,58 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         # and restarts chunk_seq per (bucket, salt), so appended batches
         # would otherwise repeat chunk uids
         bucketed = part.bucketed(batch_df, n_salts=part.salts_for(batch_df.count()))
-        # direct task-side write (same path as batch encode's fast
-        # default): pages parquet written by pyarrow inside the task,
-        # file list committed from the collected summary rows, orphaned
-        # attempt files swept; max_doc_parts mirrors batch encode so
-        # decode() plans job-free
+        if direct_write_supported(out_root):
+            # direct task-side write (same path as batch encode's fast
+            # default): pages parquet written by pyarrow inside the
+            # task, file list committed from the collected summary rows,
+            # orphaned attempt files swept; max_doc_parts mirrors batch
+            # encode so decode() plans job-free
+            run_dir = tbl.new_run_dir()
+            tbl.fs.mkdirs(run_dir)
+            writer_fn = make_direct_writer(run_dir, "zstd", max_chunk_tokens,
+                                           commit_groups=1, uid_prefix=key)
+            meta = (bucketed.select(_COLS)
+                    .mapInArrow(writer_fn, META_DDL).collect())
+            _sweep_orphans(tbl.fs, run_dir,
+                           {r["file"].rsplit("/", 1)[-1] for r in meta})
+            if not meta:
+                # zero-row micro-batch: nothing was written — drop the
+                # run dir instead of stranding it unreferenced forever
+                tbl.fs.delete(run_dir, recursive=True)
+            m = {"n_chunks": sum(r["n_chunks"] for r in meta),
+                 "n_rows": sum(r["n_rows"] for r in meta),
+                 "n_tokens": sum(r["n_tokens"] for r in meta),
+                 "raw_bytes": sum(r["raw_bytes"] for r in meta),
+                 "enc_bytes": sum(r["enc_bytes"] for r in meta),
+                 "max_doc_parts": max((r["max_doc_parts"] for r in meta),
+                                      default=0),
+                 "batch_id": batch_id}
+            totals = next_table_totals(tbl.current_snapshot(), m)
+            if totals is not None:
+                m["table_totals"] = totals
+            tbl.commit({key: sorted(r["file"] for r in meta)}, metrics=m)
+            return
+        # Hadoop-only scheme the pyarrow workers can't address: classic
+        # JVM write, run-dir commit
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        encoder = make_encoder(max_chunk_tokens, uid_prefix=key)
+        pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+        obs = Observation()
+        observed = pages.observe(
+            obs, F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.max("doc_parts").alias("max_doc_parts"))
         run_dir = tbl.new_run_dir()
-        tbl.fs.mkdirs(run_dir)
-        writer_fn = make_direct_writer(run_dir, "zstd", max_chunk_tokens,
-                                       commit_groups=1, uid_prefix=key)
-        meta = bucketed.select(_COLS).mapInArrow(writer_fn, META_DDL).collect()
-        _sweep_orphans(tbl.fs, run_dir,
-                       {r["file"].rsplit("/", 1)[-1] for r in meta})
-        m = {"n_chunks": sum(r["n_chunks"] for r in meta),
-             "n_rows": sum(r["n_rows"] for r in meta),
-             "n_tokens": sum(r["n_tokens"] for r in meta),
-             "raw_bytes": sum(r["raw_bytes"] for r in meta),
-             "enc_bytes": sum(r["enc_bytes"] for r in meta),
-             "max_doc_parts": max((r["max_doc_parts"] for r in meta), default=0),
-             "batch_id": batch_id}
-        tbl.commit({key: sorted(r["file"] for r in meta)}, metrics=m)
+        observed.write.mode("overwrite").parquet(run_dir)
+        m = {k: int(v or 0) for k, v in obs.get.items()}
+        m["batch_id"] = batch_id
+        totals = next_table_totals(tbl.current_snapshot(), m)
+        if totals is not None:
+            m["table_totals"] = totals
+        tbl.commit({key: [run_dir]}, metrics=m)
 
     stream = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
               .writeStream.foreachBatch(sink)
