@@ -167,3 +167,20 @@ def test_table_totals_chain(spark, tmp_path):
     assert totals["n_rows"] == agg["sum(n_rows)"]
     assert totals["n_tokens"] == agg["sum(n_tokens)"]
     assert totals["enc_bytes"] == agg["sum(enc_bytes)"]
+
+
+def test_cli_describe(spark, tmp_path, capsys):
+    """`describe` summarizes the table from manifest JSON alone."""
+    import json as _json
+
+    from tokencodec.__main__ import main as cli_main
+
+    df = synth.token_table(spark, 200, seed=SEED)
+    root = str(tmp_path / "t")
+    encode_job.encode(spark, df, root, commit_groups=2, direct_write=True)
+    assert cli_main(["describe", root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["groups"] == ["g0", "g1"]
+    assert out["table_totals"]["n_rows"] == 200
+    assert out["max_doc_parts"] >= 1
+    assert cli_main(["describe", str(tmp_path / "nope")]) == 1

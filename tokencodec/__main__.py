@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     snaps = sub.add_parser("snapshots", help="list committed snapshots")
     snaps.add_argument("root")
 
+    desc = sub.add_parser(
+        "describe",
+        help="table summary from the manifest alone (no Spark, no scan)")
+    desc.add_argument("root")
+
     cmp_ = sub.add_parser(
         "compact",
         help="rewrite under-filled chunks into budget-filled ones "
@@ -91,6 +96,25 @@ def main(argv: list[str] | None = None) -> int:
         from tokencodec.spark.maintenance import remove_orphan_files
         print(json.dumps(remove_orphan_files(
             args.root, older_than_hours=args.older_than_hours)))
+        return 0
+
+    if args.cmd == "describe":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        tbl = SnapshotTable(args.root)
+        snap = tbl.current_snapshot()
+        if snap is None:
+            print(json.dumps({"error": "no committed snapshot"}))
+            return 1
+        n_files = sum(len(ps) for ps in snap["groups"].values())
+        out = {"snapshot_id": snap["snapshot_id"],
+               "groups": sorted(snap["groups"]),
+               "n_data_paths": n_files,
+               "table_totals": snap.get("metrics", {}).get("table_totals"),
+               "max_doc_parts": None,
+               "n_snapshots": len(tbl.snapshots())}
+        from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
+        out["max_doc_parts"] = _max_doc_parts_from_manifest(args.root, None)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "snapshots":  # no Spark needed
