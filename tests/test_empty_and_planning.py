@@ -78,6 +78,7 @@ def test_decode_plan_probe_fallback_for_legacy_manifest(spark, tmp_path):
             p = os.path.join(mdir, name)
             snap = json.loads(tbl.fs.read_text(p))
             snap["metrics"].pop("max_doc_parts", None)
+            snap["metrics"].pop("max_doc_parts_chain", None)
             with open(p, "w") as f:
                 json.dump(snap, f)
     assert decode_job._max_doc_parts_from_manifest(root, None) is None

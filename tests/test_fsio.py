@@ -56,19 +56,24 @@ def test_snapshot_table_on_hadoopfs(spark, tmp_path):
         tbl2.commit({"g0": ["x"]})
 
 
-def test_commit_race_fails_loudly(tmp_path):
-    """Two committers racing on the same parent snapshot: the second
-    claim of the same snapshot id must fail (create-exclusive), never
-    silently overwrite (Iceberg optimistic concurrency)."""
+def test_commit_race_never_overwrites_and_skips_dead_claims(tmp_path):
+    """A claim another committer already holds is never overwritten
+    (create-exclusive); instead of wedging forever on a claim whose
+    author died before the CURRENT swap, the next commit claims the
+    next free id and links parent_id to the real current snapshot."""
     root = str(tmp_path / "race")
     tbl = SnapshotTable(root)
     tbl.commit({"g0": ["a"]})
     # simulate a racing committer that already claimed snapshot 1
     tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "{}")
-    with pytest.raises(FileExistsError):
-        tbl.commit({"g1": ["b"]})
-    # CURRENT still points at the last good snapshot
-    assert tbl.current_snapshot()["snapshot_id"] == 0
+    snap = tbl.commit({"g1": ["b"]})
+    # the claim is untouched; the new commit skipped past it
+    assert tbl.fs.read_text(f"{root}/_manifest/snapshot-000001.json") == "{}"
+    assert snap["snapshot_id"] == 2 and snap["parent_id"] == 0
+    assert tbl.current_snapshot()["snapshot_id"] == 2
+    # true conflicts still fail loudly: the group key already exists
+    with pytest.raises(ValueError, match="already committed"):
+        tbl.commit({"g1": ["c"]})
 
 
 def test_fs_for_refuses_rename_unsafe_schemes():
@@ -132,14 +137,16 @@ def test_commit_retry_rebases_on_lost_race(tmp_path):
     assert sorted(snap["groups"]) == ["g0", "g1", "g2"]
 
 
-def test_torn_snapshot_file_skipped_and_commit_raises(tmp_path):
-    """A torn snapshot file (crash between claim and CURRENT swap) must
-    not poison metadata walks; colliding commits still fail loudly."""
+def test_torn_snapshot_file_skipped_and_commit_proceeds(tmp_path):
+    """A torn snapshot file (crash mid-claim-write) must not poison
+    metadata walks OR wedge commits: its id is skipped by name."""
     root = str(tmp_path / "torn")
     tbl = SnapshotTable(root)
     tbl.commit({"g0": ["a"]})
     tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "not json{")
     assert [s["snapshot_id"] for s in tbl.snapshots()] == [0]
-    with pytest.raises(FileExistsError):
-        tbl.commit({"g1": ["b"]})
-    assert tbl.current_snapshot()["snapshot_id"] == 0
+    snap = tbl.commit({"g1": ["b"]})
+    assert snap["snapshot_id"] == 2 and snap["parent_id"] == 0
+    assert tbl.current_snapshot()["snapshot_id"] == 2
+    # the torn file is never overwritten or parsed into the chain
+    assert [s["snapshot_id"] for s in tbl.chain()] == [0, 2]

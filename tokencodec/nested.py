@@ -208,9 +208,17 @@ def _decode_node(mv: memoryview, p: int) -> tuple[pa.Array, int]:
 
 
 def decode_nested_page(buf: bytes | memoryview) -> pa.Array:
+    import zlib
+
     h = pageformat.read_header(buf)
     if h["codec"] != NESTED_CODEC:
         raise ValueError("not a nested page")
     mv = memoryview(buf)[pageformat.HEADER_SIZE:pageformat.HEADER_SIZE + h["payload_len"]]
+    # the inner sub-pages carry their own CRCs, but the tree-structure
+    # bytes between them (kind tags, lengths, struct field names) are
+    # protected only by this envelope CRC — skipping it would let a bit
+    # flip decode silently to a wrong schema or type
+    if zlib.crc32(mv) != h["crc"]:
+        raise ValueError("page crc mismatch")
     arr, _ = _decode_node(mv, 0)
     return arr

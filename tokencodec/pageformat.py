@@ -148,13 +148,16 @@ def encode_string_page(offsets: np.ndarray, data: bytes | np.ndarray,
     data_np = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, memoryview)) else data
     raw_size = len(data_np) + 4 * n
 
-    if codec is None and _allow_dict and n > 16:
+    # auto-selection tries DICT on big-enough pages; an explicit
+    # codec=DICT request always takes this branch (decode handles it,
+    # so encode must be able to produce it)
+    if (codec is None and _allow_dict and n > 16) or codec == codecs.DICT:
         arr = pa.Array.from_buffers(
             pa.large_binary(), n,
             [None, pa.py_buffer(offsets.astype(np.int64, copy=False)), pa.py_buffer(data_np)])
         dict_arr = pc.dictionary_encode(arr)
         card = len(dict_arr.dictionary)
-        if card <= n * _STR_DICT_MAX_FRACTION:
+        if card <= n * _STR_DICT_MAX_FRACTION or codec == codecs.DICT:
             codec = codecs.DICT
             indices = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             uo, ud = _arrow_str_buffers(dict_arr.dictionary)

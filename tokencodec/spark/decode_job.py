@@ -139,26 +139,38 @@ def _out_ddl(cols: list[str], packed: bool) -> str:
 
 
 def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | None:
-    """Max doc_parts over every commit in the snapshot chain, read from
-    manifest JSON only (no Spark job). Returns None when any commit in
-    the chain predates the max_doc_parts metric — callers then probe."""
+    """Max doc_parts over the target snapshot's ancestry, read from
+    manifest JSON only (no Spark job). Walks parent_id links — NOT the
+    id<=target set, which would both miss expired ancestors (silently
+    underestimating and decoding split docs as corrupt partial rows)
+    and count unreachable claim files from crashed committers. Commits
+    carrying the cumulative ``max_doc_parts_chain`` metric terminate
+    the walk at the first (usually the target) manifest, so planning is
+    O(1) reads on any table written since the field landed. Returns
+    None — callers then probe — when the chain predates the metrics or
+    was truncated by snapshot expiry before a cumulative field."""
     tbl = SnapshotTable(root)
     snap = (tbl.current_snapshot() if snapshot_id is None
             else tbl.snapshot(snapshot_id))
     if snap is None:
         return None
-    target = snap["snapshot_id"]
     best = 0
-    # commits are linear (parent = sid-1), so the chain of the target
-    # snapshot is exactly the snapshots with id <= target
-    for s in tbl.snapshots():
-        if s["snapshot_id"] > target:
-            continue
-        m = s.get("metrics", {})
+    while True:
+        m = snap.get("metrics", {})
+        if "max_doc_parts_chain" in m:
+            return max(best, int(m["max_doc_parts_chain"]))
         if "max_doc_parts" not in m:
             return None
         best = max(best, int(m["max_doc_parts"]))
-    return best
+        pid = snap.get("parent_id")
+        if pid is None:
+            return best
+        try:
+            snap = tbl.snapshot(pid)
+        except FileNotFoundError:
+            # ancestry expired away without a cumulative field to carry
+            # its maxima forward: the walk cannot bound doc_parts
+            return None
 
 
 def decode(spark: SparkSession, root: str,
@@ -226,20 +238,13 @@ def decode(spark: SparkSession, root: str,
     if n_tok_max is not None:
         pages = pages.filter(F.col("n_tok_min").isNull() | split_exempt
                              | (F.col("n_tok_min") <= n_tok_max))
-    has_parts = "doc_part" in pages.columns
-    if not has_parts:
-        # tables written before doc splitting existed: every chunk whole
-        pages = (pages.withColumn("doc_part", F.lit(0))
-                 .withColumn("doc_parts", F.lit(1)))
-    else:
-        # mixed-version tables: rows from files predating these columns
-        # surface as NULL under mergeSchema — NULL doc_parts would fail
-        # BOTH split-branch filters and silently drop the rows
-        pages = pages.na.fill({"doc_part": 0, "doc_parts": 1})
-    if "split_uid" not in pages.columns:
-        # pre-split_uid tables: decode-side coalesce with doc_id (below)
-        # reproduces the legacy grouping
-        pages = pages.withColumn("split_uid", F.lit(None).cast("string"))
+    # read_pages stamps the explicit PAGES_DDL schema, so doc_part /
+    # doc_parts columns always exist; rows from files predating them
+    # surface as NULL — which would fail BOTH split-branch filters and
+    # silently drop the rows without this fill
+    pages = pages.na.fill({"doc_part": 0, "doc_parts": 1})
+    # (split_uid likewise always exists under the explicit schema; the
+    # decode-side coalesce with doc_id below handles its NULLs)
     # zero-job planning: encode commits record max_doc_parts in snapshot
     # metrics, so the reassembly branch is decided from the manifest
     # alone — building a decode plan over a 100-TB table must not run a
@@ -247,8 +252,7 @@ def decode(spark: SparkSession, root: str,
     # fall back to a one-column probe job.
     max_parts = _max_doc_parts_from_manifest(root, snapshot_id)
     if max_parts is None:
-        max_parts = (pages.agg(F.max("doc_parts")).collect()[0][0]
-                     if has_parts else 1)
+        max_parts = pages.agg(F.max("doc_parts")).collect()[0][0]
     any_split = bool(max_parts and max_parts > 1)
     # column pruning down to the PAGE level: only requested columns'
     # binary pages (+ part markers) cross the Arrow boundary

@@ -304,6 +304,20 @@ def next_table_totals(parent: dict | None, delta: dict) -> dict | None:
     return {k: int(base[k]) + int(delta.get(k, 0)) for k in _TOTAL_KEYS}
 
 
+def next_chain_max(parent: dict | None, this_max: int) -> int | None:
+    """Cumulative max doc_parts over the whole ancestry, carried in
+    ``metrics.max_doc_parts_chain`` so decode planning survives snapshot
+    expiry (an expired ancestor's per-commit metric is gone, but its
+    maximum lives on in every descendant). None on a legacy chain whose
+    parent lacks the field — decode then walks/probes."""
+    if parent is None:
+        return int(this_max)
+    pm = parent.get("metrics", {})
+    if "max_doc_parts_chain" not in pm:
+        return None
+    return max(int(pm["max_doc_parts_chain"]), int(this_max))
+
+
 def direct_write_supported(path: str) -> bool:
     """True when pyarrow can address ``path`` from inside workers.
     Plain local paths always qualify; URI roots only if pyarrow's C++
@@ -498,6 +512,9 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             totals = next_table_totals(parent, m)
             if totals is not None:
                 m["table_totals"] = totals
+            cmax = next_chain_max(parent, m["max_doc_parts"])
+            if cmax is not None:
+                m["max_doc_parts_chain"] = cmax
             parent = tbl.commit({f"g{g}": sorted(r["file"] for r in rows)},
                                 metrics=m)
         return read_pages(spark, out_root)
@@ -547,19 +564,20 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m = {name: int(observed[f"{name}_{g}"] or 0) for name in _METRIC_AGGS}
         m["scheme"] = scheme
         totals = next_table_totals(parent, m)
+        if totals is not None:
+            m["table_totals"] = totals
+        cmax = next_chain_max(parent, m["max_doc_parts"])
+        if cmax is not None:
+            m["max_doc_parts_chain"] = cmax
         # a group with zero rows may leave no dir (partitionBy) or a dir
         # with only _SUCCESS (commit_groups=1): either way commit an
         # empty path list so resume knows the group is done and readers
         # see a valid empty table
         if m["n_chunks"] == 0 or not _has_parquet(tbl.fs, gdir):
-            if totals is not None:
-                m["table_totals"] = totals
             parent = tbl.commit({f"g{g}": []}, metrics=m)
             continue
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
-        if totals is not None:
-            m["table_totals"] = totals
         parent = tbl.commit({f"g{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 

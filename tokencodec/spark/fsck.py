@@ -52,6 +52,11 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
                                         "page_n_tok", "page_source"))
         if enc != row["enc_bytes"]:
             return False, f"enc_bytes metric {row['enc_bytes']} != pages {enc}", checked
+        raw = sum(pageformat.read_header(row[p])["raw_size"]
+                  for p in ("page_tokens", "page_doc_id",
+                            "page_n_tok", "page_source"))
+        if raw != row["raw_bytes"]:
+            return False, f"raw_bytes metric {row['raw_bytes']} != headers {raw}", checked
         if h_tok["n_values"] != row["n_tokens"]:
             return False, "tokens header n_values mismatch", checked
         return True, "", checked

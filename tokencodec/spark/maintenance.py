@@ -42,20 +42,13 @@ from tokencodec.spark.table import SnapshotTable
 _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
 
 
-def _string_array(page) -> pa.Array:
-    off, data = pageformat.decode_string_page(page)
-    return pa.Array.from_buffers(
-        pa.large_string(), len(off) - 1,
-        [None, pa.py_buffer(off), pa.py_buffer(data)]).cast(pa.string())
-
-
 def _merge_batches(uid_prefix: str):
     """mapInArrow: co-partitioned mergeable chunks -> re-encoded chunks.
     Buffers one (bucket, salt, gid) merge group at a time; groups are
     budget-bounded by construction, so memory stays bounded."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from tokencodec.spark.decode_job import _binary_views
+        from tokencodec.spark.decode_job import _binary_views, _string_array
         from tokencodec.spark.encode_job import _rows_to_batch
 
         cur_key = None
@@ -220,8 +213,10 @@ def compact(spark: SparkSession, root: str,
          "kept_files": len(all_paths) - len(selected),
          "op": "compact"}
     # re-anchor the cumulative chain: compact's metrics ARE table-wide
+    # (a rewrite never drops rows, so table max == historical max)
     m["table_totals"] = {k: m[k] for k in
                          ("n_chunks", "n_rows", "n_tokens", "enc_bytes")}
+    m["max_doc_parts_chain"] = m["max_doc_parts"]
     # every group keeps its unselected files; the rewritten run dir is
     # attached to the first group key (chunk group identity lives in the
     # chunk_uid prefix, not in which file holds the chunk)
@@ -244,6 +239,22 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
     import time as _time
 
     tbl = SnapshotTable(root)
+    cutoff = _time.time() - older_than_hours * 3600
+    # stale claim manifests first: a committer that crashed between its
+    # create-exclusive claim and the CURRENT swap leaves a manifest the
+    # chain never reaches; once old enough, drop it so the run dirs it
+    # references stop being pinned (they fall to the sweep below on the
+    # next pass). The age guard protects a live committer mid-swap.
+    chain_ids = {s["snapshot_id"] for s in tbl.chain()}
+    deleted_claims = 0
+    for s in tbl.snapshots():
+        if s["snapshot_id"] in chain_ids:
+            continue
+        path = posixpath.join(tbl.manifest_dir,
+                              f"snapshot-{s['snapshot_id']:06d}.json")
+        if tbl.fs.exists(path) and tbl.fs.mtime(path) <= cutoff:
+            tbl.fs.delete(path)
+            deleted_claims += 1
     referenced: set[str] = set()
     for s in tbl.snapshots():
         for ps in s["groups"].values():
@@ -251,7 +262,6 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
                 referenced.add(p)
                 referenced.add(p.rsplit("/", 1)[0])  # file's run dir
     data_dir = posixpath.join(root, "data")
-    cutoff = _time.time() - older_than_hours * 3600
     deleted = 0
     if tbl.fs.exists(data_dir):
         for name in sorted(tbl.fs.listdir(data_dir)):
@@ -262,7 +272,8 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
                 continue
             tbl.fs.delete(p, recursive=True)
             deleted += 1
-    return {"deleted_orphan_dirs": deleted}
+    return {"deleted_orphan_dirs": deleted,
+            "deleted_claim_manifests": deleted_claims}
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> dict:
@@ -271,7 +282,12 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     tbl = SnapshotTable(root)
-    snaps = tbl.snapshots()
+    # the committed parent_id chain ONLY: snapshots() would also list
+    # claim files from committers that crashed before their CURRENT
+    # swap, and trusting one of those as the "newest" snapshot would
+    # delete the real current manifest and its solely-referenced data.
+    # Unreachable claims are left for remove_orphan_files' age guard.
+    snaps = tbl.chain()
     if len(snaps) <= keep_last:
         return {"expired_snapshots": 0, "deleted_dirs": 0}
     keep, drop = snaps[-keep_last:], snaps[:-keep_last]

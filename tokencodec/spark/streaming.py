@@ -22,7 +22,7 @@ from tokencodec.spark.encode_job import (META_DDL, PAGES_DDL, _COLS,
                                          _sweep_orphans,
                                          direct_write_supported,
                                          make_direct_writer, make_encoder,
-                                         next_table_totals)
+                                         next_chain_max, next_table_totals)
 from tokencodec.spark.synth import SCHEMA_DDL
 from tokencodec.spark.table import SnapshotTable
 
@@ -71,9 +71,13 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
                  "max_doc_parts": max((r["max_doc_parts"] for r in meta),
                                       default=0),
                  "batch_id": batch_id}
-            totals = next_table_totals(tbl.current_snapshot(), m)
+            parent = tbl.current_snapshot()
+            totals = next_table_totals(parent, m)
             if totals is not None:
                 m["table_totals"] = totals
+            cmax = next_chain_max(parent, m["max_doc_parts"])
+            if cmax is not None:
+                m["max_doc_parts_chain"] = cmax
             tbl.commit({key: sorted(r["file"] for r in meta)}, metrics=m)
             return
         # Hadoop-only scheme the pyarrow workers can't address: classic
@@ -93,9 +97,13 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         observed.write.mode("overwrite").parquet(run_dir)
         m = {k: int(v or 0) for k, v in obs.get.items()}
         m["batch_id"] = batch_id
-        totals = next_table_totals(tbl.current_snapshot(), m)
+        parent = tbl.current_snapshot()
+        totals = next_table_totals(parent, m)
         if totals is not None:
             m["table_totals"] = totals
+        cmax = next_chain_max(parent, m["max_doc_parts"])
+        if cmax is not None:
+            m["max_doc_parts_chain"] = cmax
         tbl.commit({key: [run_dir]}, metrics=m)
 
     stream = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)

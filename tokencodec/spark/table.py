@@ -69,12 +69,14 @@ class SnapshotTable:
         return paths
 
     def snapshots(self) -> list[dict]:
-        """All well-formed snapshots, ordered by id. A committer that
-        crashed between claiming its snapshot file and the CURRENT swap
-        can leave a torn/partial file; skip anything unparseable or
-        incomplete rather than poisoning every metadata walk."""
+        """Every well-formed snapshot MANIFEST, ordered numerically by
+        id (lexicographic listdir order breaks once ids outgrow the
+        6-digit name padding). Includes unreachable claim files left by
+        committers that crashed before their CURRENT swap — use
+        :meth:`chain` for the committed history. Torn/partial files are
+        skipped rather than poisoning every metadata walk."""
         out = []
-        for name in sorted(self.fs.listdir(self.manifest_dir)):
+        for name in self.fs.listdir(self.manifest_dir):
             if name.startswith("snapshot-"):
                 try:
                     s = json.loads(self.fs.read_text(
@@ -83,6 +85,31 @@ class SnapshotTable:
                     continue
                 if isinstance(s, dict) and "snapshot_id" in s and "groups" in s:
                     out.append(s)
+        out.sort(key=lambda s: s["snapshot_id"])
+        return out
+
+    def chain(self, snapshot_id: int | None = None) -> list[dict]:
+        """The committed history: CURRENT (or ``snapshot_id``) followed
+        back through parent_id links, returned oldest-first. Claim files
+        beyond the anchor — a crashed committer's never-swapped snapshot
+        — are excluded, so maintenance walking this can never mistake an
+        uncommitted claim for the newest snapshot. A parent expired away
+        simply ends the chain (the list then starts mid-history; its
+        first element has a non-None parent_id)."""
+        snap = (self.current_snapshot() if snapshot_id is None
+                else self.snapshot(snapshot_id))
+        out: list[dict] = []
+        while snap is not None:
+            out.append(snap)
+            pid = snap.get("parent_id")
+            if pid is None:
+                break
+            path = posixpath.join(self.manifest_dir,
+                                  f"snapshot-{pid:06d}.json")
+            if not self.fs.exists(path):
+                break  # expired: truncated history
+            snap = json.loads(self.fs.read_text(path))
+        out.reverse()
         return out
 
     # ------------------------------------------------------------- writes
@@ -105,11 +132,23 @@ class SnapshotTable:
         wins the race, the commit is re-based onto the NEW current
         snapshot and re-validated — an append retries unless its group
         key now exists, a replace retries unless its key vanished. After
-        ``retries`` lost races it raises the FileExistsError."""
+        ``retries`` lost races it raises the FileExistsError.
+
+        The claimed id skips past every existing snapshot-*.json, not
+        just past CURRENT: a committer that crashed after claiming a
+        file but before the CURRENT swap would otherwise collide every
+        retry forever and wedge the table. Chain integrity is carried by
+        parent_id links (ids may skip numbers); the dead claim becomes
+        an unreachable manifest that chain() ignores."""
         last_err: Exception | None = None
         for _ in range(retries + 1):
             parent = self.current_snapshot()
-            sid = (parent["snapshot_id"] + 1) if parent else 0
+            claimed = [int(n[len("snapshot-"):-len(".json")])
+                       for n in self.fs.listdir(self.manifest_dir)
+                       if n.startswith("snapshot-") and n.endswith(".json")
+                       and n[len("snapshot-"):-len(".json")].isdigit()]
+            sid = max([(parent["snapshot_id"] + 1) if parent else 0,
+                       *[c + 1 for c in claimed]], default=0)
             groups = dict(parent["groups"]) if parent else {}
             for k, v in new_groups.items():
                 if replace:
