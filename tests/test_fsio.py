@@ -56,34 +56,49 @@ def test_snapshot_table_on_hadoopfs(spark, tmp_path):
         tbl2.commit({"g0": ["x"]})
 
 
-def test_commit_race_never_overwrites_and_skips_dead_claims(tmp_path):
-    """A claim another committer already holds is never overwritten
-    (create-exclusive); instead of wedging forever on a claim whose
-    author died before the CURRENT swap, the next commit claims the
-    next free id and links parent_id to the real current snapshot."""
+def test_commit_race_never_overwrites_and_rebases(tmp_path):
+    """A manifest another committer already landed is never overwritten
+    (create-exclusive); the loser rebases ONTO it — sequential ids mean
+    the occupier of parent+1 IS the new parent. An ill-formed occupier
+    (external corruption; content-atomic claims cannot produce one)
+    fails loudly instead of looping on the same id forever."""
+    import json
+
     root = str(tmp_path / "race")
     tbl = SnapshotTable(root)
     tbl.commit({"g0": ["a"]})
-    # simulate a racing committer that already claimed snapshot 1
-    tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "{}")
+    # a racing committer landed snapshot 1 (complete, well-formed)
+    winner = {"snapshot_id": 1, "parent_id": 0, "timestamp_ms": 0,
+              "groups": {"g0": ["a"], "gwin": ["w"]},
+              "new_groups": ["gwin"], "metrics": {}}
+    tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json",
+                       json.dumps(winner))
     snap = tbl.commit({"g1": ["b"]})
-    # the claim is untouched; the new commit skipped past it
-    assert tbl.fs.read_text(f"{root}/_manifest/snapshot-000001.json") == "{}"
-    assert snap["snapshot_id"] == 2 and snap["parent_id"] == 0
+    # the winner's manifest is untouched; the new commit chained onto it
+    assert json.loads(tbl.fs.read_text(
+        f"{root}/_manifest/snapshot-000001.json")) == winner
+    assert snap["snapshot_id"] == 2 and snap["parent_id"] == 1
+    assert snap["groups"]["gwin"] == ["w"]  # no lost update
     assert tbl.current_snapshot()["snapshot_id"] == 2
     # true conflicts still fail loudly: the group key already exists
     with pytest.raises(ValueError, match="already committed"):
         tbl.commit({"g1": ["c"]})
+    # an ill-formed occupier of the next id is corruption, not a race
+    tbl.fs.create_excl(f"{root}/_manifest/snapshot-000003.json", "{}")
+    with pytest.raises(RuntimeError, match="not a well-formed manifest"):
+        tbl.commit({"g2": []})
+    assert tbl.fs.read_text(f"{root}/_manifest/snapshot-000003.json") == "{}"
 
 
-def test_fs_for_refuses_rename_unsafe_schemes():
-    """S3-style stores have neither atomic rename nor atomic
-    create-exclusive; fs_for must refuse them for manifest IO unless the
-    caller opts into single-writer mode."""
-    with pytest.raises(ValueError, match="atomic rename"):
-        fs_for("s3a://bucket/table")
-    with pytest.raises(ValueError, match="atomic rename"):
+def test_fs_for_refuses_unsafe_schemes_without_native_client():
+    """Stores without an atomic create-exclusive through Hadoop and
+    without a native conditional-put client are refused for manifest IO
+    unless the caller opts into single-writer mode. (s3 schemes resolve
+    to the native ObjectStoreFS instead — tests/test_objectstore.py.)"""
+    with pytest.raises(ValueError, match="create-exclusive"):
         fs_for("gs://bucket/table")
+    with pytest.raises(ValueError, match="create-exclusive"):
+        fs_for("wasb://bucket/table")
 
 
 def test_encode_from_parquet_file_uri_byte_identical(spark, tmp_path):
@@ -137,16 +152,27 @@ def test_commit_retry_rebases_on_lost_race(tmp_path):
     assert sorted(snap["groups"]) == ["g0", "g1", "g2"]
 
 
-def test_torn_snapshot_file_skipped_and_commit_proceeds(tmp_path):
-    """A torn snapshot file (crash mid-claim-write) must not poison
-    metadata walks OR wedge commits: its id is skipped by name."""
+def test_torn_snapshot_file_skipped_in_reads_loud_in_commits(tmp_path):
+    """Claims are content-atomic (temp + link), so a torn snapshot file
+    means external corruption, not a crash window. Reads must not be
+    poisoned by it (walks skip it, current stays anchored); commits must
+    fail LOUDLY with repair instructions rather than silently skipping
+    an id — sequential ids are what make roll-forward reads and
+    race-free rebasing sound."""
+    import os
+
     root = str(tmp_path / "torn")
     tbl = SnapshotTable(root)
     tbl.commit({"g0": ["a"]})
     tbl.fs.create_excl(f"{root}/_manifest/snapshot-000001.json", "not json{")
     assert [s["snapshot_id"] for s in tbl.snapshots()] == [0]
+    assert tbl.current_snapshot()["snapshot_id"] == 0
+    with pytest.raises(RuntimeError, match="remove it manually"):
+        tbl.commit({"g1": ["b"]})
+    # the torn file is never overwritten
+    assert tbl.fs.read_text(f"{root}/_manifest/snapshot-000001.json") == "not json{"
+    # operator repair (delete the corrupt file) unwedges the table
+    os.remove(f"{root}/_manifest/snapshot-000001.json")
     snap = tbl.commit({"g1": ["b"]})
-    assert snap["snapshot_id"] == 2 and snap["parent_id"] == 0
-    assert tbl.current_snapshot()["snapshot_id"] == 2
-    # the torn file is never overwritten or parsed into the chain
-    assert [s["snapshot_id"] for s in tbl.chain()] == [0, 2]
+    assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
+    assert [s["snapshot_id"] for s in tbl.chain()] == [0, 1]

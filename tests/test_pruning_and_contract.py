@@ -174,3 +174,27 @@ def test_stats_nulls_from_legacy_files_never_prune(spark, enc_root):
         dj.read_pages = orig
     expected = df.filter((F.col("source") == "web") & (F.col("n_tok") >= 500))
     assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_source_pruning_with_comma_in_source_value(spark, tmp_path):
+    """A source value containing the legacy join delimiter must neither
+    be mis-pruned nor leak wrong set members (ADVICE r3: comma-joined
+    source_set split 'a,b' into {'a','b'} and silently dropped its
+    rows). source_set is now a JSON array."""
+    from tokencodec.spark import decode_job, encode_job
+
+    rows = [(f"doc-{i:04d}", [i % 7, 3, 5], 3,
+             "cc,web" if i % 3 == 0 else "books") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, "
+                                     "n_tok int, source string")
+    root = str(tmp_path / "t")
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=2)
+    # recorded sets are JSON arrays
+    ss = [r.source_set for r in encode_job.read_pages(spark, root)
+          .select("source_set").collect() if r.source_set is not None]
+    assert ss and all(s.startswith("[") for s in ss)
+    out = decode_job.decode(spark, root, sources=["cc,web"])
+    expected = df.filter(F.col("source") == "cc,web")
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
+    # a filter value equal to one of the comma-halves matches nothing
+    assert decode_job.decode(spark, root, sources=["cc"]).count() == 0

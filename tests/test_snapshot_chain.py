@@ -1,8 +1,9 @@
-"""Snapshot-chain integrity: crashed committers' claim files, snapshot
-expiry, and split-document planning must compose safely (regression
-tests for three reproduced bugs: expire trusting an unreachable claim
-as the newest snapshot, commit wedging forever on a dead claim, and
-decode underestimating max_doc_parts after expiry)."""
+"""Snapshot-chain integrity under the sequential-claim commit protocol
+(the create-exclusive of snapshot-{parent+1} IS the commit; CURRENT is
+an advisory roll-forward hint): crash-window commits stay visible,
+legacy unreachable manifests age out safely, a damaged table refuses
+GC instead of self-destructing, and split-document planning survives
+expiry."""
 
 import json
 import os
@@ -13,16 +14,35 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tokencodec.spark import decode_job, encode_job, maintenance, synth
+from tokencodec.spark.fsio import LocalFS
 from tokencodec.spark.table import SnapshotTable
 
 
-def _plant_dead_claim(root):
+def _plant_unswapped_commit(root):
     """Simulate a committer that crashed after create_excl but before
-    the CURRENT swap: a well-formed manifest the pointer never names."""
+    the CURRENT hint update: a complete manifest at parent+1 the hint
+    does not name yet. Under the sequential-claim protocol this IS a
+    committed snapshot."""
     tbl = SnapshotTable(root)
     cur = tbl.current_snapshot()
     sid = cur["snapshot_id"] + 1
-    claim = {"snapshot_id": sid, "parent_id": cur["snapshot_id"],
+    snap = {"snapshot_id": sid, "parent_id": cur["snapshot_id"],
+            "timestamp_ms": 0, "groups": {**cur["groups"], "gnew": []},
+            "new_groups": ["gnew"], "metrics": {}}
+    path = os.path.join(root, "_manifest", f"snapshot-{sid:06d}.json")
+    with open(path, "w") as f:
+        json.dump(snap, f)
+    return sid, path
+
+
+def _plant_legacy_claim(root):
+    """A truly unreachable manifest, as only the OLD claim-then-swap
+    protocol could leave behind: its id has a gap above current, so
+    roll-forward never reaches it and chain() never lists it."""
+    tbl = SnapshotTable(root)
+    cur = tbl.current_snapshot()
+    sid = cur["snapshot_id"] + 2
+    claim = {"snapshot_id": sid, "parent_id": None,
              "timestamp_ms": 0, "groups": {"gdead": ["/nonexistent/path"]},
              "new_groups": ["gdead"], "metrics": {}}
     path = os.path.join(root, "_manifest", f"snapshot-{sid:06d}.json")
@@ -31,13 +51,118 @@ def _plant_dead_claim(root):
     return sid, path
 
 
-def test_expire_ignores_dead_claim(spark, tmp_path):
-    """expire_snapshots must never treat an unreachable claim as the
-    newest snapshot (that deleted the real CURRENT manifest + data)."""
+def test_roll_forward_sees_unswapped_commit(spark, tmp_path):
+    """A commit whose writer crashed before the hint update is still
+    the current snapshot (readers roll forward past the stale hint)."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 100, seed=4)
+    encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
+    sid, _ = _plant_unswapped_commit(root)
+
+    cur = SnapshotTable(root).current_snapshot()
+    assert cur["snapshot_id"] == sid
+    assert "gnew" in cur["groups"]
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+
+
+def test_commit_rebases_onto_unswapped_commit(spark, tmp_path):
+    """The next commit chains onto the crash-window commit (no wedge,
+    no lost update): it claims sid+1 with the unswapped snapshot as
+    parent, keeping its groups."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 100, seed=4)
+    encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
+    sid, _ = _plant_unswapped_commit(root)
+
+    tbl = SnapshotTable(root)
+    snap = tbl.commit({"extra": []}, metrics={})
+    assert snap["snapshot_id"] == sid + 1
+    assert snap["parent_id"] == sid
+    assert "gnew" in snap["groups"] and "extra" in snap["groups"]
+    ids = [s["snapshot_id"] for s in tbl.chain()]
+    assert ids[-3:] == [sid - 1, sid, sid + 1]
+
+
+def test_concurrent_commit_loser_rebases_no_lost_update(spark, tmp_path):
+    """Regression for the old protocol's lost-update window: committer
+    B wins the id race while A is mid-commit; A must rebase ONTO B's
+    snapshot, so the final chain contains BOTH commits regardless of
+    hint-write ordering."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 60, seed=7)
+    encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
+
+    class RacingFS(LocalFS):
+        """First create_excl call loses: B commits at that exact point
+        (after A computed its sid/parent, before A's claim lands)."""
+        def __init__(self, root):
+            self._root = root
+            self._fired = False
+
+        def create_excl(self, path, text):
+            if not self._fired:
+                self._fired = True
+                SnapshotTable(self._root).commit({"from_b": []}, metrics={})
+            super().create_excl(path, text)
+
+    tbl_a = SnapshotTable(root, fs=RacingFS(root))
+    snap = tbl_a.commit({"from_a": []}, metrics={})
+    assert "from_a" in snap["groups"] and "from_b" in snap["groups"]
+    final = SnapshotTable(root).current_snapshot()
+    assert final["snapshot_id"] == snap["snapshot_id"]
+    assert "from_a" in final["groups"] and "from_b" in final["groups"]
+
+
+def test_current_recovers_without_hint(spark, tmp_path):
+    """Deleting CURRENT is recoverable, not data loss: reads re-anchor
+    on the highest manifest, and orphan GC still refuses to touch the
+    committed chain (ADVICE r3: a missing pointer once turned GC into
+    full table erasure)."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 100, seed=4)
+    encode_job.encode(spark, df, root, commit_groups=2, direct_write=True)
+    before = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    os.remove(os.path.join(root, "_manifest", "CURRENT"))
+
+    tbl = SnapshotTable(root)
+    assert tbl.current_snapshot()["snapshot_id"] == before
+    res = maintenance.remove_orphan_files(root, older_than_hours=0)
+    assert res["deleted_claim_manifests"] == 0
+    assert res["deleted_orphan_dirs"] == 0
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # and the next commit keeps working (re-writes the hint)
+    tbl.commit({"extra": []}, metrics={})
+    assert os.path.exists(os.path.join(root, "_manifest", "CURRENT"))
+
+
+def test_orphan_gc_refuses_without_chain_anchor(tmp_path, monkeypatch):
+    """Manifests present but no committed chain derivable (e.g. an
+    eventually-consistent listing races the hint read): GC must refuse
+    to classify — every manifest would look unreachable and the table
+    would be erased (ADVICE r3 repro)."""
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_manifest"))
+    with open(os.path.join(root, "_manifest", "snapshot-000000.json"), "w") as f:
+        json.dump({"snapshot_id": 0, "parent_id": None, "timestamp_ms": 0,
+                   "groups": {"g0": []}, "new_groups": ["g0"], "metrics": {}}, f)
+    # sanity: with a readable anchor GC runs fine
+    assert maintenance.remove_orphan_files(root, older_than_hours=0) == {
+        "deleted_orphan_dirs": 0, "deleted_claim_manifests": 0}
+    monkeypatch.setattr(SnapshotTable, "current_snapshot", lambda self: None)
+    with pytest.raises(RuntimeError, match="refusing to GC"):
+        maintenance.remove_orphan_files(root, older_than_hours=0)
+    # the manifest survived the refusal
+    assert os.path.exists(os.path.join(root, "_manifest", "snapshot-000000.json"))
+
+
+def test_expire_ignores_legacy_claim(spark, tmp_path):
+    """expire_snapshots must never treat a legacy unreachable claim as
+    the newest snapshot (that deleted the real CURRENT manifest +
+    data)."""
     root = str(tmp_path / "t")
     df = synth.token_table(spark, 200, seed=3)
     encode_job.encode(spark, df, root, commit_groups=2, direct_write=True)
-    _plant_dead_claim(root)
+    _plant_legacy_claim(root)
 
     maintenance.expire_snapshots(root, keep_last=1)
     # the real current snapshot and its data are intact
@@ -45,32 +170,13 @@ def test_expire_ignores_dead_claim(spark, tmp_path):
     assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
 
 
-def test_commit_skips_dead_claim(spark, tmp_path):
-    """A dead claim must not wedge the table: the next commit claims an
-    id past it, parent_id keeps the chain linked."""
-    root = str(tmp_path / "t")
-    df = synth.token_table(spark, 100, seed=4)
-    encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
-    tbl = SnapshotTable(root)
-    before = tbl.current_snapshot()["snapshot_id"]
-    dead_sid, _ = _plant_dead_claim(root)
-
-    snap = tbl.commit({"extra": []}, metrics={})
-    assert snap["snapshot_id"] > dead_sid
-    assert snap["parent_id"] == before
-    # chain() walks parent links, skipping the claim
-    ids = [s["snapshot_id"] for s in tbl.chain()]
-    assert ids == [before, snap["snapshot_id"]]
-    assert dead_sid not in ids
-
-
-def test_remove_orphans_ages_out_dead_claims(spark, tmp_path):
+def test_remove_orphans_ages_out_legacy_claims(spark, tmp_path):
     import time
 
     root = str(tmp_path / "t")
     df = synth.token_table(spark, 100, seed=4)
     encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
-    _, claim_path = _plant_dead_claim(root)
+    _, claim_path = _plant_legacy_claim(root)
 
     res = maintenance.remove_orphan_files(root, older_than_hours=24)
     assert res["deleted_claim_manifests"] == 0  # age guard: too fresh

@@ -16,6 +16,12 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tokencodec")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    p.add_argument("--allow-unsafe-root", action="store_true",
+                   help="opt a rename-unsafe manifest scheme (gs://, "
+                        "wasb://, ...) into single-writer commits; "
+                        "equivalent to TOKENCODEC_ALLOW_UNSAFE_ROOT=1. "
+                        "s3:// commits natively via conditional PUT when "
+                        "boto3 is installed and needs no opt-in")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     enc = sub.add_parser("encode", help="encode a parquet token table into a snapshot table")
@@ -86,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--keep-last", type=int, default=2)
 
     args = p.parse_args(argv)
+    if args.allow_unsafe_root:
+        # fs_for reads this at every resolution point (SnapshotTable,
+        # encode, maintenance) — the flag just sets it process-wide
+        import os
+        os.environ["TOKENCODEC_ALLOW_UNSAFE_ROOT"] = "1"
 
     if args.cmd == "expire-snapshots":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import expire_snapshots

@@ -19,6 +19,7 @@ source — our analog of the reference's column chunks,
 
 from __future__ import annotations
 
+import json
 import os
 import posixpath
 import time
@@ -82,7 +83,10 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     # n_tok-major) — pruning correctness depends on this
     mm = pc.min_max(doc_id) if n_rows else None
     srcs = pc.unique(source).to_pylist() if n_rows else []
-    source_set = (",".join(sorted(srcs))
+    # JSON array, not a joined string: a source value containing the
+    # join delimiter would split into wrong set members at decode and
+    # silently prune away every chunk holding only that source
+    source_set = (json.dumps(sorted(srcs))
                   if 0 < len(srcs) <= _SOURCE_SET_CAP else None)
     return {
         "bucket": bucket, "salt": salt, "chunk_seq": seq,

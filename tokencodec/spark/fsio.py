@@ -13,12 +13,18 @@ Two implementations behind one small interface:
   (hdfs://, s3a://, gs://, ...), driven through the active
   SparkSession's JVM gateway — no extra Python dependencies.
 
-Atomicity notes: snapshot files are claimed create-exclusive (O_EXCL /
-FileSystem.create(overwrite=false)), which both backends enforce. The
-CURRENT pointer swap is rename-based — atomic on POSIX and HDFS;
-object stores without atomic rename (raw S3) should front the manifest
-directory with a real catalog (Iceberg/DynamoDB-style), which is what
-this layer's API is shaped to be replaced by.
+- ``ObjectStoreFS`` (tokencodec/spark/objectstore.py): s3:// and
+  friends via native conditional PUTs (boto3 when available, or any
+  injected client with the same If-None-Match semantics).
+
+Atomicity notes: the commit protocol (table.py) needs exactly ONE
+primitive from the store — ``create_excl`` must atomically create the
+file WITH its full content, or fail with FileExistsError. LocalFS gets
+it from link(2) (write a temp, hard-link it into place), HadoopFS from
+rename-without-overwrite (atomic on HDFS), ObjectStoreFS from S3
+conditional writes (``If-None-Match: *`` PUT — public AWS capability).
+``write_atomic`` only ever writes the advisory CURRENT hint, so its
+atomicity is a torn-read guard, not a correctness requirement.
 """
 
 from __future__ import annotations
@@ -45,10 +51,22 @@ class LocalFS:
             return f.read()
 
     def create_excl(self, path: str, text: str) -> None:
-        """Create-if-absent; raises FileExistsError when present."""
-        fd = os.open(self._p(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
+        """Create-if-absent with FULL content, atomically; raises
+        FileExistsError when present. O_EXCL alone would make the file
+        visible empty and fill it afterwards — a reader (or a crash)
+        in that window sees a torn manifest that wedges its id forever.
+        Writing a temp and hard-linking it into place publishes the
+        complete bytes or nothing."""
+        p = self._p(path)
+        tmp = os.path.join(os.path.dirname(p), f".claim-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, p)
+        finally:
+            os.unlink(tmp)
 
     def write_atomic(self, path: str, text: str) -> None:
         p = self._p(path)
@@ -122,28 +140,44 @@ class HadoopFS:
         finally:
             out.close()
 
+    def _is_already_exists(self, e: Exception) -> bool:
+        # Classify by the Java exception CLASS, not message substrings —
+        # messages are locale/impl dependent and a cause chain can
+        # mention 'already exists' for unrelated reasons.
+        je = getattr(e, "java_exception", None)
+        names = []
+        cur = je
+        while cur is not None:
+            try:
+                names.append(cur.getClass().getName())
+                cur = cur.getCause()
+            except Exception:
+                break
+        return any("AlreadyExists" in n for n in names) or (
+            je is None and ("AlreadyExists" in str(e)
+                            or "already exists" in str(e)))
+
     def create_excl(self, path: str, text: str) -> None:
-        # FileSystem.create(overwrite=false) raises if the file exists;
-        # translate to the interface's FileExistsError so commit-race
-        # handling is backend-independent. Classify by the Java exception
-        # CLASS, not message substrings — messages are locale/impl
-        # dependent and a cause chain can mention 'already exists' for
-        # unrelated reasons.
+        """Create-if-absent with FULL content, atomically. Writing the
+        destination directly via create(overwrite=false) would publish
+        an empty visible file first (torn-manifest window); instead
+        write a temp and rename WITHOUT overwrite — atomic on HDFS,
+        where rename into an existing path raises
+        FileAlreadyExistsException, translated to FileExistsError so
+        commit-race handling is backend-independent."""
+        parent, _ = path.rsplit("/", 1)
+        tmp = f"{parent}/.claim-{uuid.uuid4().hex}"
+        self._write(tmp, text, True)
         try:
-            self._write(path, text, False)
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(path).toUri(), self._conf)
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.NONE
+            fc.rename(self._p(tmp), self._p(path), opts)
         except Exception as e:  # py4j wraps the Java exception
-            je = getattr(e, "java_exception", None)
-            names = []
-            cur = je
-            while cur is not None:
-                try:
-                    names.append(cur.getClass().getName())
-                    cur = cur.getCause()
-                except Exception:
-                    break
-            if any("AlreadyExists" in n for n in names) or (
-                    je is None and ("AlreadyExists" in str(e)
-                                    or "already exists" in str(e))):
+            self._fs.delete(self._p(tmp), False)
+            if self._is_already_exists(e):
                 raise FileExistsError(path) from e
             raise
 
@@ -179,23 +213,48 @@ class HadoopFS:
         self._fs.delete(self._p(path), recursive)
 
 
-# Schemes whose Hadoop FileSystem lacks atomic rename AND atomic
-# create-exclusive: S3A's create(overwrite=false) is check-then-create
-# and its rename is copy+delete, so neither the snapshot claim nor the
-# CURRENT pointer swap is safe against concurrent committers there.
-# These stores need a real catalog (Iceberg/Glue/DynamoDB-style) in
-# front of the manifest directory.
+# Schemes whose HADOOP FileSystem cannot provide an atomic
+# create-exclusive claim: S3A's create(overwrite=false) is
+# check-then-create and its rename is copy+delete, so the snapshot
+# claim is unsafe against concurrent committers through that API.
+# s3/s3a/s3n are instead served NATIVELY by ObjectStoreFS (conditional
+# PUTs via boto3) when boto3 is importable; the remaining schemes here
+# are refused unless the caller opts into single-writer mode.
 RENAME_UNSAFE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss"})
 
+# Schemes ObjectStoreFS can commit on safely with native conditional
+# writes (If-None-Match PUT — public AWS capability, and faithfully
+# emulated by tests' DirObjectStore).
+_S3_SCHEMES = frozenset({"s3", "s3a", "s3n"})
 
-def fs_for(root: str, allow_unsafe: bool = False):
+
+def fs_for(root: str, allow_unsafe: bool | None = None):
+    """Resolve the manifest filesystem for ``root``.
+
+    ``allow_unsafe`` opts a rename-unsafe scheme into single-writer
+    mode; None defers to the TOKENCODEC_ALLOW_UNSAFE_ROOT env var so
+    deployments can flip it without threading a flag through every
+    entry point (SnapshotTable/encode/CLI all land here)."""
+    if allow_unsafe is None:
+        allow_unsafe = os.environ.get(
+            "TOKENCODEC_ALLOW_UNSAFE_ROOT", "") not in ("", "0", "false")
     scheme = root.split("://", 1)[0] if "://" in root else ""
     if scheme in ("", "file"):
         return LocalFS()
+    if scheme in _S3_SCHEMES:
+        try:
+            import boto3  # noqa: F401
+        except ImportError:
+            pass  # fall through to the Hadoop path + unsafe gate
+        else:
+            from tokencodec.spark.objectstore import ObjectStoreFS
+            return ObjectStoreFS.for_s3(root)
     if scheme in RENAME_UNSAFE_SCHEMES and not allow_unsafe:
         raise ValueError(
-            f"manifest root scheme '{scheme}://' has no atomic rename / "
-            "create-exclusive, so optimistic-concurrency commits are unsafe "
-            "there; put the manifest dir on HDFS or behind a catalog, or "
-            "pass allow_unsafe=True (single-writer deployments only)")
+            f"manifest root scheme '{scheme}://' has no atomic "
+            "create-exclusive through Hadoop, so optimistic-concurrency "
+            "commits are unsafe there; install boto3 (s3 schemes commit "
+            "natively via conditional PUT), put the manifest dir on HDFS, "
+            "or pass allow_unsafe=True / set TOKENCODEC_ALLOW_UNSAFE_ROOT=1 "
+            "(single-writer deployments only)")
     return HadoopFS(root)

@@ -100,6 +100,75 @@ def _merge_batches(uid_prefix: str):
     return fn
 
 
+def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
+    """mapInArrow: split-doc part chunks co-partitioned by split group
+    (``sgrp``) and sorted (sgrp, doc_part) -> re-chunked output. Each
+    part chunk is single-row by construction; the group's tokens are
+    concatenated once (linear) and re-sliced under the NEW budget —
+    one whole-doc chunk when it fits, else fewer/larger parts.
+    chunk_uids derive from the (table-unique) split uid, so rewritten
+    chunks can never collide with each other or with merge output."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tokencodec.spark.decode_job import _binary_views, _string_array
+        from tokencodec.spark.encode_job import _rows_to_batch
+
+        cur = None  # (sgrp, bucket, salt)
+        vals: list[np.ndarray] = []
+        doc_id = source = None
+        rows: list[dict] = []
+
+        def finish():
+            nonlocal vals, doc_id, source
+            if cur is None or not vals:
+                return
+            sgrp, bucket, salt = cur
+            values = np.concatenate(vals) if len(vals) != 1 else vals[0]
+            total = len(values)
+            n_parts = max(1, (total + max_chunk_tokens - 1) // max_chunk_tokens)
+            for p in range(n_parts):
+                lo, hi = p * max_chunk_tokens, min(total, (p + 1) * max_chunk_tokens)
+                row = _encode_chunk(
+                    bucket, salt, p, doc_id, values[lo:hi],
+                    np.array([hi - lo], dtype=np.int64), source,
+                    doc_part=p if n_parts > 1 else 0,
+                    doc_parts=n_parts,
+                    uid_prefix=uid_prefix,
+                    split_uid=sgrp if n_parts > 1 else "")
+                row["chunk_uid"] = (f"{uid_prefix}-r-{sgrp}-p{p}"
+                                    if n_parts > 1 else f"{uid_prefix}-r-{sgrp}")
+                rows.append(row)
+            vals, doc_id, source = [], None, None
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            views = {c: _binary_views(batch.column(idx[c])) for c in _PAGE_COLS}
+            grps = batch.column(idx["sgrp"])
+            bks = batch.column(idx["bucket"])
+            sls = batch.column(idx["salt"])
+            for r in range(batch.num_rows):
+                key = (grps[r].as_py(), bks[r].as_py(), sls[r].as_py())
+                if key != cur:
+                    finish()
+                    cur = key
+                    if len(rows) >= 4:
+                        yield _rows_to_batch(rows)
+                        rows.clear()
+                pages = {c: data[off[r]:off[r + 1]]
+                         for c, (off, data) in views.items()}
+                vals.append(grouped.decode_tokens_column(pages["page_tokens"]))
+                if doc_id is None:
+                    doc_id = _string_array(pages["page_doc_id"])
+                    source = _string_array(pages["page_source"])
+        finish()
+        if rows:
+            yield _rows_to_batch(rows)
+
+    return fn
+
+
 def compact(spark: SparkSession, root: str,
             max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
             parquet_codec: str = "zstd",
@@ -183,25 +252,28 @@ def compact(spark: SparkSession, root: str,
         posixpath.join(run_dir, n) for n in tbl.fs.listdir(run_dir)
         if n.endswith(".parquet"))
     # table-wide metrics = whole-table totals, minus the selected files'
-    # contribution, plus what was just written. Totals come free from
-    # the chain's cumulative metrics.table_totals when every commit
-    # carries it; a legacy chain pays one metadata-column aggregate over
-    # all committed files instead (page blobs never re-read either way)
+    # contribution, plus what was just written. Totals are RECOMPUTED
+    # from a metadata-column aggregate over the committed files (page
+    # blobs never read): the chain's cumulative metrics.table_totals is
+    # advisory (a lost optimistic-concurrency race can leave it missing
+    # the winner's delta), and compact re-anchors the chain from this
+    # value, so trusting it would make any drift permanent. Compact is
+    # already a table-scale job; one footer-stats aggregate is noise.
+    tot = (read_pages(spark, root).na.fill({"doc_parts": 1})
+           .agg(F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.max("doc_parts").alias("max_doc_parts"))
+           .collect()[0].asDict())
+    tot = {k: int(v or 0) for k, v in tot.items()}
+    # doc-part maxima must survive expiry even when the current layout
+    # has none left: carry the chain's historical max forward when it
+    # is larger than what the files show
     from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
-    base = snap.get("metrics", {}).get("table_totals")
     mdp = _max_doc_parts_from_manifest(root, None)
-    if base is not None and mdp is not None:
-        tot = {k: int(v) for k, v in base.items()}
-        tot["max_doc_parts"] = int(mdp)
-    else:
-        tot = (read_pages(spark, root).na.fill({"doc_parts": 1})
-               .agg(F.count(F.lit(1)).alias("n_chunks"),
-                    F.sum("n_rows").alias("n_rows"),
-                    F.sum("n_tokens").alias("n_tokens"),
-                    F.sum("enc_bytes").alias("enc_bytes"),
-                    F.max("doc_parts").alias("max_doc_parts"))
-               .collect()[0].asDict())
-        tot = {k: int(v or 0) for k, v in tot.items()}
+    if mdp is not None:
+        tot["max_doc_parts"] = max(tot["max_doc_parts"], int(mdp))
     sel = (pages.agg(F.count(F.lit(1)).alias("n_chunks"),
                      F.sum("enc_bytes").alias("enc_bytes"))
            .collect()[0].asDict())
@@ -228,7 +300,8 @@ def compact(spark: SparkSession, root: str,
     return tbl.commit(new_groups, metrics=m, replace=True)
 
 
-def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
+def remove_orphan_files(root: str, older_than_hours: float = 24.0,
+                        fs=None) -> dict:
     """Delete data/run-* entries referenced by NO snapshot and last
     modified more than ``older_than_hours`` ago — Iceberg's
     remove-orphan-files. These are the debris of jobs that crashed
@@ -238,16 +311,31 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
     it below your longest plausible job wall time."""
     import time as _time
 
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, fs=fs)
     cutoff = _time.time() - older_than_hours * 3600
-    # stale claim manifests first: a committer that crashed between its
-    # create-exclusive claim and the CURRENT swap leaves a manifest the
-    # chain never reaches; once old enough, drop it so the run dirs it
-    # references stop being pinned (they fall to the sweep below on the
-    # next pass). The age guard protects a live committer mid-swap.
-    chain_ids = {s["snapshot_id"] for s in tbl.chain()}
+    # Unreachable manifests (off the committed parent chain) cannot be
+    # produced by the sequential-claim commit protocol, but legacy
+    # tables written under the old claim-then-swap protocol can still
+    # hold them; once old enough, drop them so the run dirs they
+    # reference stop being pinned (those fall to the sweep below on the
+    # next pass). SAFETY ANCHOR: classification requires a committed
+    # chain to exist — when current_snapshot() is None yet manifests
+    # are present (a damaged/partially-restored table), EVERY manifest
+    # would classify as unreachable and this phase would erase the
+    # whole table's metadata, then the sweep its data. Refuse instead:
+    # that state is recoverable (roll-forward already re-anchors on the
+    # highest manifest; a missing CURRENT alone no longer even gets
+    # here) and GC must never turn it into permanent loss.
+    all_snaps = tbl.snapshots()
+    chain_ids = ({s["snapshot_id"] for s in tbl.chain()}
+                 if tbl.current_snapshot() is not None else None)
+    if chain_ids is None and all_snaps:
+        raise RuntimeError(
+            f"refusing to GC {root}: snapshot manifests exist but no "
+            "committed chain anchor was found — repair the table before "
+            "running remove_orphan_files")
     deleted_claims = 0
-    for s in tbl.snapshots():
+    for s in all_snaps:
         if s["snapshot_id"] in chain_ids:
             continue
         path = posixpath.join(tbl.manifest_dir,
@@ -276,12 +364,12 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0) -> dict:
             "deleted_claim_manifests": deleted_claims}
 
 
-def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+def expire_snapshots(root: str, keep_last: int = 1, fs=None) -> dict:
     """Drop all but the last ``keep_last`` snapshots and delete run
     directories referenced only by the dropped ones."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, fs=fs)
     # the committed parent_id chain ONLY: snapshots() would also list
     # claim files from committers that crashed before their CURRENT
     # swap, and trusting one of those as the "newest" snapshot would

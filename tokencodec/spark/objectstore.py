@@ -1,0 +1,273 @@
+"""Native object-store manifest IO via conditional writes.
+
+Raw object stores (S3 and lookalikes) have no rename and no
+create-exclusive through the Hadoop FileSystem API, which is why s3a://
+manifest roots were previously refused outright. But the store itself
+DOES offer the one primitive the commit protocol (table.py) needs:
+a conditional PUT — ``If-None-Match: *`` makes the PUT succeed only if
+the key does not exist yet, atomically, with the full body (public AWS
+S3 capability; also supported by GCS/MinIO/R2). An ordinary PUT is
+already an atomic full-object replace (readers see the old or the new
+complete object, never a torn one), which is all the advisory CURRENT
+hint needs. So a thin client with {get, put[, if_none_match], list,
+delete, head} carries the whole snapshot/manifest layer — the
+reference reaches remote parquet read-only over HTTP ranges
+(/root/reference/src/Parquet/Reader.hs:222-248); this extends the
+same reach to commits.
+
+Three pieces:
+
+- ``S3Client``: boto3-backed, bucket-scoped (the real deployment path;
+  gated behind an import-try — boto3 is optional).
+- ``DirObjectStore``: a conditional-put-faithful fake over a local
+  directory for tests: flat key space, atomic conditional put (via
+  link(2)), atomic unconditional put (via rename), prefix listing, no
+  rename operation exposed at all. An optional ``before_put`` hook
+  lets race tests force interleavings at the exact atomicity point.
+- ``ObjectStoreFS``: adapts either client to the fsio interface used
+  by SnapshotTable/maintenance. Directories are purely virtual
+  (prefixes); ``mkdirs`` is a no-op, ``mtime`` of a prefix is the max
+  over its objects (conservative for orphan-GC age guards: the newest
+  write protects an in-flight run dir).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+
+class PreconditionFailed(Exception):
+    """Conditional PUT lost: the key already exists."""
+
+
+class DirObjectStore:
+    """S3-semantics fake over a local directory (tests only).
+
+    Keys map to files under ``base`` (subdirectories are an
+    implementation detail — the exposed namespace is flat keys with
+    prefix listing, exactly like S3). ``put(if_none_match=True)`` is
+    atomic create-if-absent with full content, via hard link."""
+
+    def __init__(self, base: str, before_put=None):
+        self.base = base
+        self.before_put = before_put  # hook(key, if_none_match) for race tests
+        os.makedirs(base, exist_ok=True)
+
+    def _p(self, key: str) -> str:
+        if ".." in key.split("/"):
+            raise ValueError(f"bad key {key}")
+        return os.path.join(self.base, *key.split("/"))
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
+        if self.before_put is not None:
+            self.before_put(key, if_none_match)
+        p = self._p(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(p), f".put-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            if if_none_match:
+                try:
+                    os.link(tmp, p)
+                except FileExistsError:
+                    raise PreconditionFailed(key) from None
+            else:
+                os.replace(tmp, p)
+                return
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def get(self, key: str) -> bytes:
+        try:
+            with open(self._p(key), "rb") as f:
+                return f.read()
+        except (FileNotFoundError, IsADirectoryError):
+            raise KeyError(key) from None
+
+    def head(self, key: str) -> tuple[int, float] | None:
+        p = self._p(key)
+        if not os.path.isfile(p):
+            return None
+        st = os.stat(p)
+        return st.st_size, st.st_mtime
+
+    def list(self, prefix: str) -> list[str]:
+        """All keys starting with ``prefix`` (S3 ListObjectsV2, no
+        delimiter)."""
+        out = []
+        for dirpath, _, names in os.walk(self.base):
+            for n in names:
+                if n.startswith((".put-", ".claim-")):
+                    continue
+                full = os.path.join(dirpath, n)
+                key = os.path.relpath(full, self.base).replace(os.sep, "/")
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+    def delete(self, key: str) -> None:
+        p = self._p(key)
+        if os.path.isfile(p):
+            os.unlink(p)
+
+
+class S3Client:
+    """boto3-backed bucket-scoped client (same protocol as
+    DirObjectStore). Conditional create uses ``IfNoneMatch="*"`` —
+    S3 returns HTTP 412 PreconditionFailed when the key exists."""
+
+    def __init__(self, bucket: str, client=None):
+        if client is None:
+            import boto3
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.c = client
+
+    @staticmethod
+    def _code(e) -> str:
+        return getattr(e, "response", {}).get("Error", {}).get("Code", "")
+
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
+        kwargs = {"Bucket": self.bucket, "Key": key, "Body": data}
+        if if_none_match:
+            kwargs["IfNoneMatch"] = "*"
+        try:
+            self.c.put_object(**kwargs)
+        except Exception as e:
+            if self._code(e) in ("PreconditionFailed", "412") or (
+                    if_none_match and "PreconditionFailed" in str(e)):
+                raise PreconditionFailed(key) from e
+            raise
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self.c.get_object(Bucket=self.bucket, Key=key)["Body"].read()
+        except Exception as e:
+            if self._code(e) in ("NoSuchKey", "404"):
+                raise KeyError(key) from e
+            raise
+
+    def head(self, key: str) -> tuple[int, float] | None:
+        try:
+            r = self.c.head_object(Bucket=self.bucket, Key=key)
+        except Exception as e:
+            if self._code(e) in ("NoSuchKey", "404", "NotFound"):
+                return None
+            raise
+        return int(r["ContentLength"]), r["LastModified"].timestamp()
+
+    def list(self, prefix: str) -> list[str]:
+        out = []
+        token = None
+        while True:
+            kwargs = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            r = self.c.list_objects_v2(**kwargs)
+            out.extend(o["Key"] for o in r.get("Contents", []))
+            if not r.get("IsTruncated"):
+                return out
+            token = r.get("NextContinuationToken")
+
+    def delete(self, key: str) -> None:
+        self.c.delete_object(Bucket=self.bucket, Key=key)
+
+
+class ObjectStoreFS:
+    """fsio-interface adapter over a conditional-put client.
+
+    ``root_uri`` is the URI prefix whose remainder maps to client keys:
+    for ``s3://bucket/warehouse/t`` the client is bucket-scoped and the
+    key of ``s3://bucket/warehouse/t/_manifest/CURRENT`` is
+    ``warehouse/t/_manifest/CURRENT``. Paths keep their full URI form
+    everywhere else (manifests record them verbatim, Spark reads them
+    through its own s3a committer/connector)."""
+
+    def __init__(self, uri_prefix: str, client):
+        self.uri_prefix = uri_prefix.rstrip("/")
+        self.client = client
+
+    @classmethod
+    def for_s3(cls, root: str) -> "ObjectStoreFS":
+        scheme, rest = root.split("://", 1)
+        bucket = rest.split("/", 1)[0]
+        return cls(f"{scheme}://{bucket}", S3Client(bucket))
+
+    def _key(self, path: str) -> str:
+        if not path.startswith(self.uri_prefix + "/"):
+            raise ValueError(f"path {path} outside object store root "
+                             f"{self.uri_prefix}")
+        return path[len(self.uri_prefix) + 1:]
+
+    def mkdirs(self, path: str) -> None:
+        pass  # directories are virtual prefixes
+
+    def exists(self, path: str) -> bool:
+        k = self._key(path)
+        if self.client.head(k) is not None:
+            return True
+        return bool(self.client.list(k + "/")[:1])
+
+    def read_text(self, path: str) -> str:
+        try:
+            return self.client.get(self._key(path)).decode("utf-8")
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def create_excl(self, path: str, text: str) -> None:
+        try:
+            self.client.put(self._key(path), text.encode("utf-8"),
+                            if_none_match=True)
+        except PreconditionFailed:
+            raise FileExistsError(path) from None
+
+    def write_atomic(self, path: str, text: str) -> None:
+        # a single PUT is an atomic full-object replace on S3
+        self.client.put(self._key(path), text.encode("utf-8"))
+
+    def listdir(self, path: str) -> list[str]:
+        """Immediate children of the prefix (delimiter-style listing),
+        virtual subdirectories included once."""
+        k = self._key(path)
+        seen: dict[str, None] = {}
+        for key in self.client.list(k + "/"):
+            seen[key[len(k) + 1:].split("/", 1)[0]] = None
+        return list(seen)
+
+    def isdir(self, path: str) -> bool:
+        k = self._key(path)
+        return self.client.head(k) is None and bool(self.client.list(k + "/")[:1])
+
+    def size(self, path: str) -> int:
+        h = self.client.head(self._key(path))
+        if h is None:
+            raise FileNotFoundError(path)
+        return h[0]
+
+    def mtime(self, path: str) -> float:
+        """Object mtime; for a virtual directory, the max over its
+        objects — the newest write, so orphan-GC age guards stay
+        conservative for in-flight run dirs."""
+        k = self._key(path)
+        h = self.client.head(k)
+        if h is not None:
+            return h[1]
+        times = [self.client.head(key)[1] for key in self.client.list(k + "/")]
+        if not times:
+            return time.time()  # empty prefix: treat as brand new
+        return max(times)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        k = self._key(path)
+        if self.client.head(k) is not None:
+            self.client.delete(k)
+            return
+        children = self.client.list(k + "/")
+        if children and not recursive:
+            raise IsADirectoryError(path)
+        for key in children:
+            self.client.delete(key)

@@ -9,15 +9,43 @@ a small trailer that tells readers exactly which byte containers make
 up the table.
 
 Manifest IO goes through a pluggable filesystem (tokencodec/spark/
-fsio.py): plain paths and file:// use the local OS, any other scheme
-(hdfs://, s3a://, ...) is served by Spark's Hadoop filesystem — the
-table root is scheme-transparent end to end (Spark jobs read/write the
-same URIs natively).
+fsio.py): plain paths and file:// use the local OS, s3:// and friends
+use native conditional PUTs when boto3 is present, any other scheme
+(hdfs://, ...) is served by Spark's Hadoop filesystem — the table root
+is scheme-transparent end to end (Spark jobs read/write the same URIs
+natively).
 
 Layout:
     {root}/data/run-{run_id}/...parquet     (written by Spark jobs)
-    {root}/_manifest/snapshot-{N}.json      (immutable)
-    {root}/_manifest/CURRENT                (atomic pointer swap)
+    {root}/_manifest/snapshot-{N}.json      (immutable; THE commit)
+    {root}/_manifest/CURRENT                (advisory roll-forward hint)
+
+Commit protocol (Iceberg HadoopTableOperations-style, versioned-file
+commits): snapshot ids are strictly sequential, and the atomic
+create-exclusive of ``snapshot-{parent+1}.json`` IS the commit — there
+is no second "pointer swap" step to crash before or to race on.
+``CURRENT`` is only a read-optimization hint, updated best-effort after
+the claim; readers roll forward from it (``snapshot-{hint+1}`` exists ⇒
+it is newer and committed) and fall back to scanning the manifest dir
+when the hint is missing or stale.  Consequences:
+
+- Two concurrent committers both target id N; exactly one wins the
+  create-exclusive, the loser re-reads (now sees N) and rebases onto it
+  — no interleaving can drop a commit.  The previous protocol (claim
+  any free id, then swap CURRENT) had a lost-update window: a loser
+  rebasing before the winner's swap built its snapshot on the stale
+  parent, and whichever swap landed last silently orphaned the other's
+  commit.
+- A committer that crashes after the claim has still committed; the
+  stale hint is repaired by the next reader's roll-forward.  No "dead
+  claim" garbage exists.
+- Deleting/corrupting CURRENT is always recoverable: the fallback scan
+  re-anchors on the highest well-formed manifest (ids are sequential,
+  so that IS the current snapshot).
+- The backing store needs ONE primitive: atomic create-if-absent with
+  full content.  POSIX gives it via link(2), HDFS via rename-without-
+  overwrite, S3 via conditional PUT (If-None-Match) — raw object
+  stores no longer need a rename-based catalog for correctness.
 
 A snapshot records {group_key: [data paths]} plus lineage/metrics.
 Readers load ONLY paths listed in the current snapshot — files from
@@ -35,24 +63,63 @@ from tokencodec.spark.fsio import fs_for
 
 
 class SnapshotTable:
-    def __init__(self, root: str, fs=None):
+    def __init__(self, root: str, fs=None, allow_unsafe: bool | None = None):
         self.root = root
-        self.fs = fs if fs is not None else fs_for(root)
+        self.fs = fs if fs is not None else fs_for(root, allow_unsafe=allow_unsafe)
         self.manifest_dir = posixpath.join(root, "_manifest")
         self.fs.mkdirs(self.manifest_dir)
 
     # -------------------------------------------------------------- reads
-    def current_snapshot(self) -> dict | None:
-        cur = posixpath.join(self.manifest_dir, "CURRENT")
-        if not self.fs.exists(cur):
+    def _snap_path(self, snapshot_id: int) -> str:
+        return posixpath.join(self.manifest_dir,
+                              f"snapshot-{snapshot_id:06d}.json")
+
+    def _read_snap(self, snapshot_id: int) -> dict | None:
+        """The manifest for ``snapshot_id`` if present and well-formed,
+        else None. Claims are content-atomic (fsio.create_excl), so a
+        torn file here means external corruption, not a crash window."""
+        path = self._snap_path(snapshot_id)
+        if not self.fs.exists(path):
             return None
-        name = self.fs.read_text(cur).strip()
-        return json.loads(self.fs.read_text(posixpath.join(self.manifest_dir, name)))
+        try:
+            s = json.loads(self.fs.read_text(path))
+        except ValueError:
+            return None
+        if isinstance(s, dict) and "snapshot_id" in s and "groups" in s:
+            return s
+        return None
+
+    def current_snapshot(self) -> dict | None:
+        """The newest committed snapshot: start from the CURRENT hint
+        (or, when the hint is missing/unreadable, the highest
+        well-formed manifest) and roll forward while ``snapshot-{n+1}``
+        exists — each commit is the create-exclusive of exactly
+        parent+1, so a successor file is always a newer commit."""
+        snap = None
+        cur = posixpath.join(self.manifest_dir, "CURRENT")
+        if self.fs.exists(cur):
+            name = self.fs.read_text(cur).strip()
+            path = posixpath.join(self.manifest_dir, name)
+            try:
+                s = json.loads(self.fs.read_text(path))
+                if isinstance(s, dict) and "snapshot_id" in s and "groups" in s:
+                    snap = s
+            except (OSError, ValueError):
+                snap = None  # stale hint (e.g. expired away): fall back
+        if snap is None:
+            all_snaps = self.snapshots()
+            if not all_snaps:
+                return None
+            snap = all_snaps[-1]
+        while True:
+            nxt = self._read_snap(snap["snapshot_id"] + 1)
+            if nxt is None:
+                return snap
+            snap = nxt
 
     def snapshot(self, snapshot_id: int) -> dict:
         """Load a specific (immutable) snapshot — time travel."""
-        name = f"snapshot-{snapshot_id:06d}.json"
-        path = posixpath.join(self.manifest_dir, name)
+        path = self._snap_path(snapshot_id)
         if not self.fs.exists(path):
             raise FileNotFoundError(f"no snapshot {snapshot_id} under {self.root}")
         return json.loads(self.fs.read_text(path))
@@ -69,12 +136,12 @@ class SnapshotTable:
         return paths
 
     def snapshots(self) -> list[dict]:
-        """Every well-formed snapshot MANIFEST, ordered numerically by
+        """Every well-formed snapshot manifest, ordered numerically by
         id (lexicographic listdir order breaks once ids outgrow the
-        6-digit name padding). Includes unreachable claim files left by
-        committers that crashed before their CURRENT swap — use
-        :meth:`chain` for the committed history. Torn/partial files are
-        skipped rather than poisoning every metadata walk."""
+        6-digit name padding). Under the sequential-claim protocol every
+        one of these is committed; use :meth:`chain` for the unexpired
+        ancestry of the current snapshot. Torn/partial files are skipped
+        rather than poisoning every metadata walk."""
         out = []
         for name in self.fs.listdir(self.manifest_dir):
             if name.startswith("snapshot-"):
@@ -90,12 +157,9 @@ class SnapshotTable:
 
     def chain(self, snapshot_id: int | None = None) -> list[dict]:
         """The committed history: CURRENT (or ``snapshot_id``) followed
-        back through parent_id links, returned oldest-first. Claim files
-        beyond the anchor — a crashed committer's never-swapped snapshot
-        — are excluded, so maintenance walking this can never mistake an
-        uncommitted claim for the newest snapshot. A parent expired away
-        simply ends the chain (the list then starts mid-history; its
-        first element has a non-None parent_id)."""
+        back through parent_id links, returned oldest-first. A parent
+        expired away simply ends the chain (the list then starts
+        mid-history; its first element has a non-None parent_id)."""
         snap = (self.current_snapshot() if snapshot_id is None
                 else self.snapshot(snapshot_id))
         out: list[dict] = []
@@ -104,8 +168,7 @@ class SnapshotTable:
             pid = snap.get("parent_id")
             if pid is None:
                 break
-            path = posixpath.join(self.manifest_dir,
-                                  f"snapshot-{pid:06d}.json")
+            path = self._snap_path(pid)
             if not self.fs.exists(path):
                 break  # expired: truncated history
             snap = json.loads(self.fs.read_text(path))
@@ -127,28 +190,21 @@ class SnapshotTable:
         their physical layout changes. Old files stay referenced by the
         parent snapshot until expired, so time travel keeps working.
 
-        Optimistic concurrency with retry (Iceberg's commit loop): the
-        snapshot id is claimed create-exclusive; when another committer
-        wins the race, the commit is re-based onto the NEW current
-        snapshot and re-validated — an append retries unless its group
-        key now exists, a replace retries unless its key vanished. After
-        ``retries`` lost races it raises the FileExistsError.
-
-        The claimed id skips past every existing snapshot-*.json, not
-        just past CURRENT: a committer that crashed after claiming a
-        file but before the CURRENT swap would otherwise collide every
-        retry forever and wedge the table. Chain integrity is carried by
-        parent_id links (ids may skip numbers); the dead claim becomes
-        an unreachable manifest that chain() ignores."""
+        Optimistic concurrency (Iceberg's commit loop over sequential
+        versioned files): the commit targets exactly parent_id+1 and
+        succeeds iff the content-atomic create-exclusive of that
+        manifest succeeds. Losing the race means the winner's manifest
+        now exists at that id, so the retry re-reads (roll-forward sees
+        it immediately), re-bases the group map onto the winner, and
+        re-validates — an append retries unless its group key now
+        exists, a replace retries unless its key vanished. After
+        ``retries`` lost races the FileExistsError propagates. The
+        CURRENT hint write afterwards is advisory; crashing before it
+        does not un-commit (readers roll forward past the hint)."""
         last_err: Exception | None = None
         for _ in range(retries + 1):
             parent = self.current_snapshot()
-            claimed = [int(n[len("snapshot-"):-len(".json")])
-                       for n in self.fs.listdir(self.manifest_dir)
-                       if n.startswith("snapshot-") and n.endswith(".json")
-                       and n[len("snapshot-"):-len(".json")].isdigit()]
-            sid = max([(parent["snapshot_id"] + 1) if parent else 0,
-                       *[c + 1 for c in claimed]], default=0)
+            sid = parent["snapshot_id"] + 1 if parent else 0
             groups = dict(parent["groups"]) if parent else {}
             for k, v in new_groups.items():
                 if replace:
@@ -172,6 +228,14 @@ class SnapshotTable:
                                     json.dumps(snap, indent=1))
             except FileExistsError as e:
                 last_err = e
+                if self._read_snap(sid) is None:
+                    # the id is occupied by an unreadable file — with
+                    # content-atomic claims that is external corruption,
+                    # and retrying would recompute the same id forever
+                    raise RuntimeError(
+                        f"snapshot file {name} under {self.manifest_dir} exists "
+                        "but is not a well-formed manifest; remove it manually "
+                        "to unwedge the table") from e
                 continue  # lost the race: re-base on the winner and retry
             self.fs.write_atomic(posixpath.join(self.manifest_dir, "CURRENT"), name)
             return snap
