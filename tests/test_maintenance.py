@@ -42,19 +42,54 @@ def test_compact_preserves_rows_and_reduces_chunks(spark, tmp_path):
     assert decode_job.audit(df, old)["ok"]
 
 
-def test_compact_leaves_split_docs_and_full_chunks_alone(spark, tmp_path):
+def test_compact_rechunks_shrinkable_split_docs(spark, tmp_path):
+    """Re-compacting with a LARGER budget reassembles split docs whose
+    part count shrinks (VERDICT r3 next #7: fragments used to persist
+    forever); decoded rows stay bit-identical."""
+    from pyspark.sql import functions as F
+
     root = str(tmp_path / "t")
     df = synth.token_table(spark, 120, seed=5)
     # tiny budget: forces doc splitting (doc_parts > 1 chunks exist)
     encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=64)
     pages = encode_job.read_pages(spark, root)
-    assert pages.filter("doc_parts > 1").count() > 0
+    n_parts_before = pages.filter("doc_parts > 1").count()
+    assert n_parts_before > 0
+    maxtok = pages.agg(F.max("n_tokens")).collect()[0][0]
+    assert maxtok <= 64
 
-    maintenance.compact(spark, root, max_chunk_tokens=4096)
+    snap = maintenance.compact(spark, root, max_chunk_tokens=4096)
+    assert snap["metrics"]["rechunked_split_parts"] == n_parts_before
     after = encode_job.read_pages(spark, root)
-    # split parts passed through byte-identical (same uids)
+    # commit metrics must describe the ACTUAL written layout (a
+    # post-splice aggregate once reported the pre-merge chunk count)
+    assert snap["metrics"]["n_chunks"] == after.count()
+    assert snap["metrics"]["enc_bytes"] == \
+        after.groupBy().sum("enc_bytes").collect()[0][0]
+    # every split doc in this table fits 4096 tokens: no parts remain
+    assert after.filter("doc_parts > 1").count() == 0
+    # chunks stay bounded: reassembled docs <= budget; merge groups can
+    # legitimately fill to 1.5x (running-sum bins of < budget/2 chunks)
+    assert after.agg(F.max("n_tokens")).collect()[0][0] <= 4096 * 3 // 2
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # idempotent: nothing left to rechunk or merge
+    s2 = maintenance.compact(spark, root, max_chunk_tokens=4096)
+    assert s2["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_compact_same_budget_leaves_split_docs_alone(spark, tmp_path):
+    """At the SAME budget the split layout is already optimal: parts
+    pass through byte-identical (same uids)."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 120, seed=5)
+    encode_job.encode(spark, df, root, commit_groups=1, max_chunk_tokens=64)
+    pages = encode_job.read_pages(spark, root)
     split_before = {r.chunk_uid for r in pages.filter("doc_parts > 1")
                     .select("chunk_uid").collect()}
+    assert split_before
+
+    maintenance.compact(spark, root, max_chunk_tokens=64)
+    after = encode_job.read_pages(spark, root)
     split_after = {r.chunk_uid for r in after.filter("doc_parts > 1")
                    .select("chunk_uid").collect()}
     assert split_before == split_after
@@ -99,7 +134,8 @@ def test_expire_keeps_everything_when_window_covers_all(spark, tmp_path):
 @pytest.mark.parametrize("enc_budget,cmp_budget,n_rows", [
     (500, 1 << 20, 150),    # tiny chunks -> one big merge per (bucket, salt)
     (2000, 8000, 250),      # partial merges, several groups per salt
-    (64, 600, 100),         # split docs present; merge around them
+    (64, 600, 100),         # split docs present; part counts shrink 64->600
+    (64, 1 << 20, 80),      # every split doc reassembles whole
 ])
 def test_compact_property_sweep(spark, tmp_path, enc_budget, cmp_budget, n_rows):
     """Across budget/size combinations: compaction never changes decoded
@@ -191,10 +227,13 @@ def test_file_granular_compact_keeps_big_files(spark, tmp_path):
     """Iceberg's rewrite-data-files semantics: only committed files
     below the size threshold are read and rewritten; bigger files stay
     referenced under their original paths, and the table decodes
-    identically."""
+    identically. The fixture is split-free (docs capped under the
+    encode budget) — files holding shrinkable split-doc parts would
+    correctly be pulled in regardless of size (rechunk overrides the
+    threshold; test_compact_rechunks_shrinkable_split_docs)."""
     from tokencodec.spark import decode_job, synth
 
-    df = synth.token_table(spark, 800, seed=3)
+    df = synth.token_table(spark, 800, seed=3).filter("n_tok <= 1800")
     src = str(tmp_path / "src")
     df.write.parquet(src)
     root = str(tmp_path / "t")

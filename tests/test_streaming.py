@@ -49,3 +49,53 @@ def test_stateful_dedup_stream(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 80
     assert final.select("doc_id").distinct().count() == 80
+
+
+def test_stateful_dedup_stream_ttl_suppresses_within_window(spark, tmp_path):
+    """TTL variant, phase 1: a duplicate arriving well WITHIN the TTL
+    is still suppressed (state alive), exactly like the permanent-state
+    default."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    a = synth.token_table(spark, 5, seed=3)
+    a.write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out, ttl_ms=120_000)
+    assert spark.read.parquet(out).count() == 5
+    a.limit(3).write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out, ttl_ms=120_000)
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_stateful_dedup_stream_ttl_expiry_readmits(spark, tmp_path):
+    """TTL variant, phase 2: state idle past the TTL is garbage-
+    collected (ProcessingTimeTimeout — fires at the next micro-batch
+    after the deadline, possibly in a later run via the checkpoint), so
+    the same doc_id is re-admitted. This is what bounds total state for
+    an unbounded key space."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    a = synth.token_table(spark, 5, seed=3)  # doc ids 0..4
+    a.write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out, ttl_ms=1200)
+    assert spark.read.parquet(out).count() == 5
+
+    # idle past the TTL, then a batch with an unrelated doc lets the
+    # due timers fire and GC the expired keys
+    time.sleep(2.5)
+    synth.token_table(spark, 6, seed=3).filter("doc_id > 'doc-000000000004'") \
+        .write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out, ttl_ms=1200)
+    assert spark.read.parquet(out).count() == 6
+
+    # the original docs re-appear AFTER their state expired: re-admitted
+    a.limit(2).write.mode("append").parquet(src)
+    streaming.dedup_stream(spark, src, out, ttl_ms=1200)
+    final = spark.read.parquet(out)
+    assert final.count() == 8
+    dup_ids = (final.groupBy("doc_id").agg(F.count("*").alias("k"))
+               .filter("k = 2").count())
+    assert dup_ids == 2

@@ -12,6 +12,10 @@ DELTA = 5
 FSST = 6
 CONSTANT = 7  # degenerate single-value page (header-only)
 GROUPED = 8  # per-document class groups, one sub-page each (grouped.py)
+# 10 is NESTED (registered by tokencodec/nested.py to keep this package
+# Spark/pyarrow-free)
+FPSHUF = 11  # float byte-plane shuffle (Blosc-style transpose)
+ALP = 12  # float decimal packing as int64 page + power-of-ten exponent
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -23,5 +27,7 @@ CODEC_NAMES = {
     FSST: "fsst",
     CONSTANT: "constant",
     GROUPED: "grouped",
+    FPSHUF: "fpshuf",
+    ALP: "alp",
 }
 NAME_TO_CODEC = {v: k for k, v in CODEC_NAMES.items()}

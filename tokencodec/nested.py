@@ -29,7 +29,10 @@ Layout (envelope codec NESTED, kind INT64) — a recursive node tree:
         kind 4-7 (leaf string | large_string | binary | large_binary):
                               sub(validity) sub(string page)
         kind 8 (leaf bool):   sub(validity) sub(values 0/1)
-    sub  := u32 len | int page (or string page for kinds 4-7)
+        kind 9/10 (leaf float32 | float64):
+                              sub(validity) sub(float page — bit-exact
+                              ALP / byte-shuffle, pageformat)
+    sub  := u32 len | int page (or string/float page per leaf kind)
 
 String/binary leaves reuse the flat string-page layout (dict/FSST/plain
 auto-selection, pageformat.encode_string_page) — BYTE_ARRAY-anywhere
@@ -52,8 +55,10 @@ codecs.CODEC_NAMES.setdefault(NESTED_CODEC, "nested")
 
 _LEAF, _LIST, _LARGE_LIST, _STRUCT = 0, 1, 2, 3
 _STR, _LARGE_STR, _BIN, _LARGE_BIN, _BOOL = 4, 5, 6, 7, 8
+_F32, _F64 = 9, 10
 _BYTES_KIND = {_STR: pa.string(), _LARGE_STR: pa.large_string(),
                _BIN: pa.binary(), _LARGE_BIN: pa.large_binary()}
+_FLOAT_KIND = {_F32: (pa.float32(), np.float32), _F64: (pa.float64(), np.float64)}
 
 
 def _gather_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -118,6 +123,16 @@ def _encode_node(arr: pa.Array, parts: list[bytes]) -> None:
         vals = (np.asarray(arr.fill_null(False)) if len(arr)
                 else np.zeros(0, bool))
         parts.append(_enc_ints(vals.astype(np.int64), pageformat.KIND_INT32))
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        # embedding leaves (list<float> columns): bit-exact float pages
+        # with ALP/byte-shuffle auto-selection (pageformat)
+        kind = _F32 if pa.types.is_float32(t) else _F64
+        npdt = _FLOAT_KIND[kind][1]
+        parts.append(bytes([kind]))
+        parts.append(_enc_ints(valid.astype(np.int64), pageformat.KIND_INT32))
+        vals = (np.asarray(arr.fill_null(0.0), dtype=npdt) if len(arr)
+                else np.zeros(0, npdt))
+        parts.append(_sub(pageformat.encode_float_page(vals)))
     else:
         raise ValueError(f"unsupported nested leaf/inner type: {t}")
 
@@ -203,6 +218,14 @@ def _decode_node(mv: memoryview, p: int) -> tuple[pa.Array, int]:
         arr = pa.Array.from_buffers(
             pa.bool_(), len(vals),
             [_validity_buffer(valid), pa.py_buffer(bits)])
+        return arr, p
+    if kind in _FLOAT_KIND:
+        (ln,) = struct.unpack_from("<I", mv, p)
+        vals = pageformat.decode_float_page(mv[p + 4:p + 4 + ln])
+        p += 4 + ln
+        arr = pa.Array.from_buffers(
+            _FLOAT_KIND[kind][0], len(vals),
+            [_validity_buffer(valid), pa.py_buffer(vals)])
         return arr, p
     raise ValueError(f"unknown nested node kind {kind}")
 

@@ -130,6 +130,126 @@ def decode_int_page(buf: bytes | memoryview, check_crc: bool = True) -> np.ndarr
     return out.astype(_NP_KIND[h["kind"]], copy=False)
 
 
+# -------------------------------------------------------------- float pages
+# Lossless bit-exact float storage (embedding columns are first-class
+# in a training-data table; the reference's flat decoder stops at
+# INT32/INT64/BYTE_ARRAY — /root/reference/src/Parquet/Stream/Reader.hs
+# errors on other types — so this is engine-added coverage).
+# Codecs, auto-selected per page:
+#   CONSTANT: every value the same bit pattern (header-only).
+#   ALP     : "adaptive lossless floating point"-style decimal packing
+#             (Afroozeh & Boncz, VLDB 2023): values that are exactly
+#             D / 10^e round-trip as an int64 page + exponent in the
+#             header. Chosen only when the WHOLE page reconstructs
+#             bit-identically (sample-guided trial, one full verify
+#             pass) — quantized embeddings and telemetry hit this.
+#   FPSHUF  : byte-plane shuffle (Blosc-style transpose) — exponent and
+#             mantissa bytes land in separate runs so the parquet-level
+#             zstd on the page blob compresses them; bit-exact by
+#             construction (pure byte permutation), NaN payloads and
+#             -0.0 included.
+
+KIND_FLOAT32 = 3
+KIND_FLOAT64 = 4
+_NP_FKIND = {KIND_FLOAT32: np.float32, KIND_FLOAT64: np.float64}
+_FBITS = {KIND_FLOAT32: np.uint32, KIND_FLOAT64: np.uint64}
+
+
+def _bits_as_ref(bits0) -> int:
+    """Reinterpret a value's bit pattern as the signed int64 the header
+    ref field stores (a raw uint64 with the sign bit set would not fit
+    struct 'q')."""
+    return int(np.asarray(bits0, dtype=np.uint64).view(np.int64))
+
+
+def encode_float_page(values: np.ndarray, kind: int | None = None,
+                      codec: int | None = None) -> bytes:
+    v = np.ascontiguousarray(values)
+    if kind is None:
+        kind = KIND_FLOAT32 if v.dtype == np.float32 else KIND_FLOAT64
+    dt = _NP_FKIND[kind]
+    v = v.astype(dt, copy=False)
+    n = len(v)
+    isz = np.dtype(dt).itemsize
+    raw = n * isz
+    bits = v.view(_FBITS[kind])
+    if n == 0:
+        return _wrap(codecs.PLAIN, kind, 0, 0, 0, 0, b"")
+    if codec is None and bool((bits == bits[0]).all()):
+        return _wrap(codecs.CONSTANT, kind, 0, n, _bits_as_ref(bits[0]), raw, b"")
+    if codec in (None, codecs.ALP):
+        e = _alp_exponent(v, bits, dt)
+        if e is not None:
+            ints = np.round(v.astype(np.float64) * (10.0 ** e)).astype(np.int64)
+            page = encode_int_page(ints, KIND_INT64)
+            return _wrap(codecs.ALP, kind, 0, n, e, raw, page)
+        if codec == codecs.ALP:
+            raise ValueError("page does not reconstruct bit-exactly under ALP")
+    if codec in (None, codecs.FPSHUF):
+        payload = v.view(np.uint8).reshape(n, isz).T.tobytes()
+        return _wrap(codecs.FPSHUF, kind, 0, n, 0, raw, payload)
+    if codec == codecs.PLAIN:
+        return _wrap(codecs.PLAIN, kind, 0, n, 0, raw, v.tobytes())
+    raise ValueError(f"unknown float codec {codec}")
+
+
+def _alp_exponent(v: np.ndarray, bits: np.ndarray, dt) -> int | None:
+    """Smallest power-of-ten exponent under which the WHOLE page
+    round-trips bit-identically as integers, or None. Sample-guided
+    (the ALP paper's vectorized trial): the exponent is found on <=64
+    values, then verified once on the full page."""
+    if not bool(np.isfinite(v).all()):
+        return None  # inf/NaN can never equal D/10^e
+    max_e = 7 if dt == np.float32 else 14
+    sample = v[:: max(1, len(v) // 64)][:64].astype(np.float64)
+    sbits = sample.astype(dt).view(bits.dtype)
+    for e in range(max_e + 1):
+        r = np.round(sample * (10.0 ** e))
+        if not bool((np.abs(r) < float(1 << 62)).all()):
+            return None  # magnitudes only grow with e
+        # bit equality at the TARGET dtype (an f32 0.1 widens to a
+        # non-decimal f64, so an f64-level check would wrongly reject)
+        recon_s = (r.astype(np.int64) / (10.0 ** e)).astype(dt)
+        if not bool((recon_s.view(bits.dtype) == sbits).all()):
+            continue
+        full = np.round(v.astype(np.float64) * (10.0 ** e))
+        if not bool((np.abs(full) < float(1 << 62)).all()):
+            return None
+        recon = (full.astype(np.int64) / (10.0 ** e)).astype(dt)
+        if bool((recon.view(bits.dtype) == bits).all()):
+            return e
+        return None  # sample lied (mixed scales): don't retry per-e
+    return None
+
+
+def decode_float_page(buf: bytes | memoryview, check_crc: bool = True) -> np.ndarray:
+    h = read_header(buf)
+    if h["kind"] not in _NP_FKIND:
+        raise ValueError("not a float page")
+    dt = _NP_FKIND[h["kind"]]
+    mv = memoryview(buf)[HEADER_SIZE:HEADER_SIZE + h["payload_len"]]
+    if len(mv) != h["payload_len"]:
+        raise ValueError("truncated page payload")
+    if check_crc and zlib.crc32(mv) != h["crc"]:
+        raise ValueError("page crc mismatch")
+    codec, n = h["codec"], h["n_values"]
+    isz = np.dtype(dt).itemsize
+    if codec == codecs.CONSTANT:
+        one = np.array([h["ref"]], dtype=np.int64).view(np.uint64)
+        bits = (one.astype(np.uint32) if isz == 4 else one)
+        return np.full(n, bits.view(dt)[0], dtype=dt)
+    if codec == codecs.PLAIN:
+        return np.frombuffer(mv, dtype=dt, count=n).copy()
+    if codec == codecs.FPSHUF:
+        planes = np.frombuffer(mv, dtype=np.uint8, count=n * isz)
+        return np.ascontiguousarray(
+            planes.reshape(isz, n).T).view(dt).reshape(n)
+    if codec == codecs.ALP:
+        ints = decode_int_page(mv, check_crc=check_crc)
+        return (ints / (10.0 ** h["ref"])).astype(dt)
+    raise ValueError(f"unknown float codec {codec}")
+
+
 # ------------------------------------------------------------- string pages
 # String column = (offsets int64[n+1], data bytes). Codecs:
 #   PLAIN: lengths int page + raw data bytes

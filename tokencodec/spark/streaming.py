@@ -115,16 +115,24 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
 
 
 def dedup_stream(spark: SparkSession, source_dir: str, out_dir: str,
-                 checkpoint_dir: str | None = None) -> None:
+                 checkpoint_dir: str | None = None,
+                 ttl_ms: int | None = None) -> None:
     """Stateful cross-batch exact dedup: emit only the FIRST occurrence
     of each doc_id ever seen by the stream, remembering seen keys in
     per-group state (`applyInPandasWithState`) that survives restarts
     via the checkpoint — the custom-stateful-operator pattern for
     incremental training-data ingestion (a doc re-appearing in a later
     crawl drop is suppressed without re-reading history). State is
-    partitioned by doc_id, so it shards across executors; no timeout —
-    dedup state is permanent by design (bound it with a TTL timeout if
-    the key space is unbounded in deployment)."""
+    partitioned by doc_id, so it shards across executors.
+
+    ``ttl_ms=None`` (default): no timeout — dedup state is permanent by
+    design. With a TTL, keys idle for ``ttl_ms`` of processing time are
+    garbage-collected (`ProcessingTimeTimeout`), bounding total state
+    for unbounded key spaces: a doc re-appearing AFTER its state
+    expired is re-admitted (the dedup window is a sliding TTL since the
+    key's last sighting — every sighting, emitted or suppressed,
+    re-arms the clock). Expiry fires at the next micro-batch boundary
+    after the deadline, Spark's contract for processing-time timeouts."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -132,21 +140,54 @@ def dedup_stream(spark: SparkSession, source_dir: str, out_dir: str,
         checkpoint_dir = os.path.join(out_dir, "_dedup_checkpoint")
 
     def first_only(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: drop the key so a future sighting
+            # re-admits (invoked with an empty iterator, nothing to emit)
+            state.remove()
+            return
         if not state.exists:
             for pdf in pdfs:
                 if len(pdf):
                     state.update((True,))
+                    if ttl_ms is not None:
+                        state.setTimeoutDuration(ttl_ms)
                     yield pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
                                         "n_tok": [pdf["n_tok"].iloc[0]],
                                         "source": [pdf["source"].iloc[0]]})
                     break
+        elif ttl_ms is not None:
+            # suppressed duplicate: re-arm the GC clock (sliding TTL)
+            state.setTimeoutDuration(ttl_ms)
 
     src = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
            .select("doc_id", "n_tok", "source"))
     out = src.groupBy("doc_id").applyInPandasWithState(
         first_only, "doc_id string, n_tok int, source string",
-        "seen boolean", "append", GroupStateTimeout.NoTimeout)
+        "seen boolean", "append",
+        GroupStateTimeout.NoTimeout if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout)
     q = (out.writeStream.format("parquet").option("path", out_dir)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
+    if ttl_ms is None:
+        q.awaitTermination()
+        return
+    # With processing-time timeouts every completed batch schedules a
+    # successor (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    # true whenever the clock advanced), so an availableNow query never
+    # self-terminates. Drain the available data, let a couple of idle
+    # batches fire any DUE timers, then stop: not-yet-due timers stay in
+    # the checkpointed state and fire on a later run — the documented
+    # "next micro-batch after the deadline" contract.
+    import time as _time
+    deadline = _time.time() + 600
+    idle_batches: set[int] = set()
+    while q.isActive and _time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] == 0:
+            idle_batches.add(p["batchId"])
+            if len(idle_batches) >= 2:
+                break
+        _time.sleep(0.2)
+    q.stop()
     q.awaitTermination()
