@@ -461,6 +461,73 @@ FROM embeddings
 """
 
 
+def _vectors_root(spark: SparkSession, sf_dir: str) -> str:
+    """Encode the embeddings table into a vector snapshot table once
+    per sf dir (float pages; tokencodec/spark/vectors.py)."""
+    from tokencodec.spark import vectors
+    n = _t(spark, sf_dir, "embeddings").count()
+    root = f"/tmp/tokencodec_entry/vecs_v1_n{n}"
+    if root not in _ENGINE_CACHE:
+        vectors.encode_vectors(
+            spark, _t(spark, sf_dir, "embeddings"), root, chunk_rows=64)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_vectors_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding columns as COMMITTED table data (round-4 vector table;
+    beyond the in-memory page check of engine_embed_roundtrip): the
+    embeddings table is stored on float pages (ALP / byte-shuffle) in
+    the snapshot format, decoded back, and the decoded VALUES are
+    oracle-verified per row — l2 norm rounded to 6 places, the same
+    cross-engine float protocol mm_embed_norm established. Storage is
+    bit-exact (tests/test_vectors.py asserts on raw bit patterns); the
+    norm is the strongest value check SQL can restate."""
+    from tokencodec.spark import vectors
+    out = vectors.decode_vectors(spark, _vectors_root(spark, sf_dir))
+    dot = F.aggregate("embedding", F.lit(0.0),
+                      lambda a, x: a + x.cast("double") * x.cast("double"))
+    return (out.select("vec_id", "label",
+                       F.round(F.sqrt(dot), 6).alias("l2"))
+            .orderBy("vec_id"))
+
+
+SQL_ENGINE_VECTORS_ROUNDTRIP = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_engine_vectors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-range pruned decode of the vector table: range-partitioned +
+    sorted ids give tight per-chunk (vec_id_min, vec_id_max) stats, so
+    the predicate skips whole chunks before any page is parsed (the
+    skip itself is asserted engine-side; rows are oracle-verified)."""
+    from tokencodec.spark import vectors
+    root = _vectors_root(spark, sf_dir)
+    lo, hi = 100, 199
+    pages = vectors.read_vector_pages(spark, root)
+    total = pages.count()
+    touched = pages.filter((F.col("vec_id_max") >= lo)
+                           & (F.col("vec_id_min") <= hi)).count()
+    if not touched < total:
+        raise RuntimeError(f"id-range pruning skipped nothing: {touched}/{total}")
+    out = vectors.decode_vectors(spark, root, vec_id_min=lo, vec_id_max=hi)
+    dot = F.aggregate("embedding", F.lit(0.0),
+                      lambda a, x: a + x.cast("double") * x.cast("double"))
+    return (out.select("vec_id", "label",
+                       F.round(F.sqrt(dot), 6).alias("l2"))
+            .orderBy("vec_id"))
+
+
+SQL_ENGINE_VECTORS_PRUNED = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+FROM embeddings WHERE vec_id BETWEEN 100 AND 199 ORDER BY vec_id
+"""
+
+
 def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental encode (SURVEY op #22 analog),
     oracle-verified: stream-encode the documents-derived token table,
@@ -1622,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_lineage": q_engine_lineage,
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
         "engine_embed_roundtrip": q_engine_embed_roundtrip,
+        "engine_vectors_roundtrip": q_engine_vectors_roundtrip,
+        "engine_vectors_pruned": q_engine_vectors_pruned,
         "engine_stream_encode": q_engine_stream_encode,
         "engine_fsck": q_engine_fsck,
         "schema_flatten": q_schema_flatten,
@@ -1701,6 +1770,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         "engine_nested_roundtrip": SQL_ENGINE_NESTED_ROUNDTRIP,
         "engine_embed_roundtrip": SQL_ENGINE_EMBED_ROUNDTRIP,
+        "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
+        "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
         # remaining rows-only entry: engine_encode_metrics (encoded
         # byte sizes are engine-internal; its oracle-expressible half is
         # engine_encode_metrics_docs). Everything else — including the

@@ -1,0 +1,100 @@
+"""Vector table: bit-exact embedding storage on float pages, id-range
+pruning, codec selection, and commit semantics."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tokencodec.spark import vectors
+from tokencodec.spark.table import SnapshotTable
+
+SF = "/root/testdata/sf0.01"
+
+
+def _bits(rows):
+    return sorted(
+        (r.vec_id, r.label,
+         np.asarray(r.embedding, dtype=np.float32).view(np.uint32).tobytes())
+        for r in rows)
+
+
+def test_vectors_roundtrip_bit_exact_on_testdata(spark, tmp_path):
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    root = str(tmp_path / "v")
+    pages = vectors.encode_vectors(spark, src, root, chunk_rows=64)
+    assert pages.count() > 1
+    # every chunk's encoded bytes beat raw (float pages compress or
+    # break even; the envelope overhead is amortized at 64 rows/chunk)
+    out = vectors.decode_vectors(spark, root)
+    assert _bits(out.collect()) == _bits(src.collect())
+
+
+def test_vectors_id_range_pruning_skips_chunks(spark, tmp_path):
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, src, root, chunk_rows=32)
+    lo, hi = 100, 199
+    out = vectors.decode_vectors(spark, root, vec_id_min=lo, vec_id_max=hi)
+    exp = src.filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi))
+    assert _bits(out.collect()) == _bits(exp.collect())
+    # range partitioning + sorted ids => tight stats => chunks pruned
+    pages = vectors.read_vector_pages(spark, root)
+    total = pages.count()
+    touched = pages.filter((F.col("vec_id_max") >= lo)
+                           & (F.col("vec_id_min") <= hi)).count()
+    assert touched < total
+
+
+def test_vectors_codec_selection(spark, tmp_path):
+    """Quantized embeddings pick ALP; random normals pick byte-shuffle;
+    both decode bit-identically."""
+    rng = np.random.default_rng(5)
+    rows_q = [(i, (rng.integers(-999, 999, 16) / 100.0).astype("float32").tolist(), 0)
+              for i in range(300)]
+    rows_n = [(i, rng.standard_normal(16).astype("float32").tolist(), 1)
+              for i in range(300, 600)]
+    df = spark.createDataFrame(rows_q + rows_n,
+                               "vec_id bigint, embedding array<float>, label int")
+    root = str(tmp_path / "v")
+    pages = vectors.encode_vectors(spark, df, root, chunk_rows=128)
+    codecs_seen = {r.emb_codec for r in pages.select("emb_codec").collect()}
+    assert "alp" in codecs_seen and "fpshuf" in codecs_seen
+    out = vectors.decode_vectors(spark, root)
+    assert _bits(out.collect()) == _bits(df.collect())
+
+
+def test_vectors_idempotent_commit_and_time_travel(spark, tmp_path):
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).limit(100)
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, src, root)
+    sid = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    # a re-run is a no-op (the group is committed)
+    vectors.encode_vectors(spark, src, root)
+    assert SnapshotTable(root).current_snapshot()["snapshot_id"] == sid
+    m = SnapshotTable(root).current_snapshot()["metrics"]
+    assert m["n_rows"] == 100 and m["op"] == "encode_vectors"
+
+
+def test_vectors_rejects_nulls_and_handles_mixed_dims(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2], 0), (2, None, 0)],
+        "vec_id bigint, embedding array<float>, label int")
+    with pytest.raises(Exception, match="non-null"):
+        vectors.encode_vectors(spark, df, str(tmp_path / "v1"))
+    # mixed dimensions segment into uniform-dim chunks and round-trip
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(4 if i % 3 else 7)
+             .astype("float32").tolist(), i % 2) for i in range(200)]
+    df2 = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    root = str(tmp_path / "v2")
+    pages = vectors.encode_vectors(spark, df2, root, chunk_rows=16)
+    assert {r.dim for r in pages.select("dim").collect()} == {4, 7}
+    out = vectors.decode_vectors(spark, root)
+    assert _bits(out.collect()) == _bits(df2.collect())

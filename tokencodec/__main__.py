@@ -91,6 +91,20 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("root")
     exp.add_argument("--keep-last", type=int, default=2)
 
+    venc = sub.add_parser(
+        "encode-vectors",
+        help="store a (vec_id, embedding, label) parquet table on float pages")
+    venc.add_argument("src", help="parquet with (vec_id, embedding array<float>, label)")
+    venc.add_argument("out", help="vector table root")
+    venc.add_argument("--chunk-rows", type=int, default=4096)
+
+    vdec = sub.add_parser("decode-vectors",
+                          help="decode a vector table back to parquet (bit-exact)")
+    vdec.add_argument("root")
+    vdec.add_argument("out")
+    vdec.add_argument("--vec-id-min", type=int)
+    vdec.add_argument("--vec-id-max", type=int)
+
     args = p.parse_args(argv)
     if args.allow_unsafe_root:
         # fs_for reads this at every resolution point (SnapshotTable,
@@ -162,6 +176,27 @@ def main(argv: list[str] | None = None) -> int:
                                             if args.sources else None),
                                    n_tok_min=args.n_tok_min,
                                    n_tok_max=args.n_tok_max)
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "encode-vectors":
+            from pyspark.sql import functions as F
+
+            from tokencodec.spark import vectors
+            pages = vectors.encode_vectors(
+                spark, spark.read.parquet(args.src), args.out,
+                chunk_rows=args.chunk_rows)
+            m = pages.agg(F.count("*").alias("chunks"),
+                          F.sum("n_rows").alias("rows"),
+                          F.sum("raw_bytes").alias("raw"),
+                          F.sum("enc_bytes").alias("enc")).collect()[0]
+            print(json.dumps({"chunks": m.chunks, "rows": int(m.rows),
+                              "raw_bytes": int(m.raw), "enc_bytes": int(m.enc),
+                              "ratio": round(m.enc / m.raw, 4)}))
+        elif args.cmd == "decode-vectors":
+            from tokencodec.spark import vectors
+            df = vectors.decode_vectors(spark, args.root,
+                                        vec_id_min=args.vec_id_min,
+                                        vec_id_max=args.vec_id_max)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":

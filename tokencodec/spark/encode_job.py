@@ -620,12 +620,17 @@ _MAX_BLOB_BYTES = (1 << 31) - 1  # pa.binary() has int32 offsets
 
 
 def _open_parquet(path: str):
-    """pq.ParquetFile over any pyarrow-resolvable source: plain local
-    paths, or URIs (file://, s3://, hdfs:// with libhdfs, ...) routed
-    through pyarrow's C++ filesystem layer — the fast source's analog of
-    the reference's any-offset-addressable-source reader
+    """pq.ParquetFile over any offset-addressable source: plain local
+    paths; URIs (file://, s3://, hdfs:// with libhdfs, ...) routed
+    through pyarrow's C++ filesystem layer; and plain http(s):// via
+    Range requests (tokencodec/spark/httpio.py) — full parity with the
+    reference's any-offset-addressable-source reader, which covers
+    local files AND ranged HTTP
     (/root/reference/src/Parquet/Reader.hs:216-248)."""
     import pyarrow.parquet as pq
+    if path.startswith(("http://", "https://")):
+        from tokencodec.spark.httpio import HttpRangeFile
+        return pq.ParquetFile(HttpRangeFile(path))
     if "://" in path:
         from pyarrow import fs as pafs
         f, p = pafs.FileSystem.from_uri(path)
@@ -636,7 +641,18 @@ def _open_parquet(path: str):
 def _list_parquet(src_dir: str) -> list[str]:
     """*.parquet files directly under ``src_dir`` (path or URI), each
     returned in the same addressing form the caller used — URIs keep
-    their scheme and authority so workers can re-resolve them."""
+    their scheme and authority so workers can re-resolve them. An
+    http(s) source must name the .parquet file(s) directly (one URL, or
+    comma-separated URLs): plain HTTP has no directory listing — the
+    same single-object shape as the reference's remote read."""
+    if src_dir.startswith(("http://", "https://")):
+        urls = [u.strip() for u in src_dir.split(",") if u.strip()]
+        bad = [u for u in urls if not u.endswith(".parquet")]
+        if bad:
+            raise ValueError(
+                f"http(s) sources must be direct .parquet URLs "
+                f"(no directory listing over HTTP): {bad[0]}")
+        return urls
     if "://" in src_dir:
         from pyarrow import fs as pafs
         f, base = pafs.FileSystem.from_uri(src_dir)
