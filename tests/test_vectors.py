@@ -98,3 +98,39 @@ def test_vectors_rejects_nulls_and_handles_mixed_dims(spark, tmp_path):
     assert {r.dim for r in pages.select("dim").collect()} == {4, 7}
     out = vectors.decode_vectors(spark, root)
     assert _bits(out.collect()) == _bits(df2.collect())
+
+
+def test_vectors_fsck_clean_and_detects_corruption(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tokencodec.spark import fsck
+
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).limit(200)
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, src, root, chunk_rows=32)
+    rep = fsck.fsck_vectors(spark, root)
+    assert rep.filter("not ok").count() == 0
+    assert rep.count() > 1
+
+    # flip one byte inside a committed embedding page -> CRC failure
+    import pyarrow as pa
+    f = sorted(glob.glob(os.path.join(root, "data", "run-*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    blobs = t.column("page_emb").to_pylist()
+    blob = bytearray(blobs[0])
+    blob[-1] ^= 0xFF
+    blobs[0] = bytes(blob)
+    t = t.set_column(t.schema.get_field_index("page_emb"), "page_emb",
+                     pa.array(blobs, type=pa.binary()))
+    os.chmod(f, 0o644)
+    pq.write_table(t, f, compression="zstd")
+    # remove Hadoop's checksum sidecar so OUR page CRC layer is what
+    # detects the corruption (on object stores there is no sidecar)
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    bad = fsck.fsck_vectors(spark, root).filter("not ok")
+    assert bad.count() == 1
+    assert "crc" in bad.collect()[0].error.lower()

@@ -219,8 +219,15 @@ def main(argv: list[str] | None = None) -> int:
                               "metrics": snap.get("metrics", {})}))
         elif args.cmd == "fsck":
             from pyspark.sql import functions as F
+
             from tokencodec.spark import fsck
-            rep = fsck.fsck(spark, args.root)
+            from tokencodec.spark.table import SnapshotTable
+            # auto-detect the table kind from the manifest alone
+            groups = SnapshotTable(args.root).committed_groups()
+            if set(groups) == {"vectors"}:
+                rep = fsck.fsck_vectors(spark, args.root)
+            else:
+                rep = fsck.fsck(spark, args.root)
             bad = rep.filter(~F.col("ok"))
             n_bad = bad.count()
             for r in bad.limit(20).collect():

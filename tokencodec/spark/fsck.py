@@ -99,3 +99,72 @@ def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 def fsck(spark: SparkSession, root: str) -> DataFrame:
     pages = read_pages(spark, root).select(_COLS)
     return pages.mapInArrow(fsck_batches, REPORT_DDL)
+
+
+# ------------------------------------------------------------ vector tables
+
+_VCOLS = ["chunk_uid", "n_rows", "dim", "vec_id_min", "vec_id_max",
+          "raw_bytes", "enc_bytes", "page_vec_id", "page_emb", "page_label"]
+_VPAGE_COLS = ("page_vec_id", "page_emb", "page_label")
+
+
+def _check_vec_chunk(row: dict) -> tuple[bool, str, int]:
+    checked = 0
+    try:
+        ids = pageformat.decode_int_page(row["page_vec_id"])
+        checked += 1
+        emb = pageformat.decode_float_page(row["page_emb"])
+        checked += 1
+        lab = pageformat.decode_int_page(row["page_label"])
+        checked += 1
+        n = row["n_rows"]
+        if len(ids) != n or len(lab) != n:
+            return False, f"id/label count != n_rows {n}", checked
+        if len(emb) != n * row["dim"]:
+            return (False, f"embedding values {len(emb)} != "
+                    f"n_rows*dim {n * row['dim']}", checked)
+        if n and (int(ids.min()) != row["vec_id_min"]
+                  or int(ids.max()) != row["vec_id_max"]):
+            return False, "vec_id stats do not match decoded ids", checked
+        enc = sum(len(row[p]) for p in _VPAGE_COLS)
+        if enc != row["enc_bytes"]:
+            return False, f"enc_bytes metric {row['enc_bytes']} != pages {enc}", checked
+        return True, "", checked
+    except Exception as e:  # corrupt page: CRC, truncation, bad magic
+        return False, f"{type(e).__name__}: {e}", checked
+
+
+def fsck_vector_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from tokencodec.spark.decode_job import _binary_views
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        idx = {n: i for i, n in enumerate(batch.schema.names)}
+        cols = {n: batch.column(idx[n]) for n in _VCOLS}
+        views = {n: _binary_views(cols[n]) for n in _VPAGE_COLS}
+        uids, rows_ok, errs, nrows, checked = [], [], [], [], []
+        for r in range(batch.num_rows):
+            row = {n: cols[n][r].as_py() for n in _VCOLS if n not in _VPAGE_COLS}
+            for n, (off, data) in views.items():
+                row[n] = data[off[r]:off[r + 1]]
+            ok, err, chk = _check_vec_chunk(row)
+            uids.append(row["chunk_uid"])
+            rows_ok.append(ok)
+            errs.append(err)
+            nrows.append(row["n_rows"])
+            checked.append(chk)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uids, pa.string()), pa.array(rows_ok, pa.bool_()),
+             pa.array(errs, pa.string()), pa.array(nrows, pa.int32()),
+             pa.array([0] * len(uids), pa.int64()),
+             pa.array(checked, pa.int32())],
+            names=["chunk_uid", "ok", "error", "n_rows", "n_tokens",
+                   "crc_checked"])
+
+
+def fsck_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """Same validation discipline over a vector table's three pages:
+    CRCs, count/stat cross-checks, byte-metric reconciliation."""
+    from tokencodec.spark.vectors import read_vector_pages
+    pages = read_vector_pages(spark, root).select(_VCOLS)
+    return pages.mapInArrow(fsck_vector_batches, REPORT_DDL)
