@@ -240,10 +240,19 @@ def compact(spark: SparkSession, root: str,
                         return p[len(pref):]
                 return p
             committed = {_norm(p): p for p in all_paths}
-            extra = {committed[_norm(r.f)]
-                     for r in rgrps.select(F.explode("files").alias("f"))
-                     .distinct().collect() if _norm(r.f) in committed}
-            selected = sorted(set(selected) | extra)
+            rfiles = [r.f for r in rgrps.select(F.explode("files").alias("f"))
+                      .distinct().collect()]
+            unmapped = [f for f in rfiles if _norm(f) not in committed]
+            if unmapped:
+                # proceeding would stitch groups from PARTIAL part sets
+                # while the unmapped file stays referenced — silent row
+                # corruption. Refuse instead; the mapping only fails on
+                # exotic URI encodings (e.g. %-escaped path characters).
+                raise RuntimeError(
+                    "compact: cannot map scan URI(s) back to committed "
+                    f"paths for split-group rechunk: {unmapped[:3]}")
+            selected = sorted(set(selected)
+                              | {committed[_norm(f)] for f in rfiles})
 
     if not selected:
         if rgrps is not None:
