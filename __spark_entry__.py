@@ -1945,11 +1945,11 @@ def oracle_sql() -> dict[str, str]:
         "engine_embed_roundtrip": SQL_ENGINE_EMBED_ROUNDTRIP,
         "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
         "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
-        # remaining rows-only entry: engine_encode_metrics (encoded
-        # byte sizes are engine-internal; its oracle-expressible half is
-        # engine_encode_metrics_docs). Everything else — including the
-        # engine's decode/lineage/fsck/stream/audit/nested paths (via
-        # the documents-derived token table or constant contract rows),
-        # ivf_assign (integer-quantized centroids) and schema_flatten
-        # (DESCRIBE mapping) — is oracle-verified.
+        # EVERY queries() entry is oracle-verified (round 4 closed the
+        # last rows-only row: engine_encode_metrics now pins its
+        # invariants). The only unpinned surface left is
+        # q_engine_codec_mix — entry()'s per-codec byte view, not a
+        # queries() entry — whose absolute byte sizes are engine
+        # binary internals (SURVEY documents why restating them in SQL
+        # would be a copied constant, not an independent oracle).
     }

@@ -225,3 +225,72 @@ def test_snapshots_order_numeric(tmp_path):
                                f"snapshot-{sid:06d}.json"), "w") as f:
             json.dump(snap, f)
     assert [s["snapshot_id"] for s in tbl.snapshots()] == [5, 999999, 1000000]
+
+
+def test_legacy_stale_parent_claim_does_not_shadow_commit(spark, tmp_path):
+    """Review-confirmed repro: the OLD claim-then-swap protocol could
+    leave a dead claim at current+1 whose parent_id bypasses the
+    committed snapshot (a lost-race rebase that crashed pre-swap).
+    Roll-forward must NOT adopt it (that shadowed the committed
+    snapshot and exposed its solely-referenced data to GC); commits
+    fail loudly until orphan GC ages the claim out, then succeed."""
+    import time
+
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 100, seed=4)
+    encode_job.encode(spark, df, root, commit_groups=2, direct_write=True)
+    tbl = SnapshotTable(root)
+    cur = tbl.current_snapshot()
+    sid = cur["snapshot_id"] + 1
+    stale = {"snapshot_id": sid, "parent_id": cur["snapshot_id"] - 1,
+             "timestamp_ms": 0, "groups": {"gdead": ["/nonexistent"]},
+             "new_groups": ["gdead"], "metrics": {}}
+    claim_path = os.path.join(root, "_manifest", f"snapshot-{sid:06d}.json")
+    with open(claim_path, "w") as f:
+        json.dump(stale, f)
+
+    # reads stay anchored on the committed snapshot; data intact
+    assert SnapshotTable(root).current_snapshot()["snapshot_id"] \
+        == cur["snapshot_id"]
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # expire must not treat the claim as newest either
+    maintenance.expire_snapshots(root, keep_last=1)
+    assert decode_job.audit(df, decode_job.decode(spark, root), strict=True)["ok"]
+    # commits refuse (retrying/skipping would corrupt roll-forward)
+    with pytest.raises(RuntimeError, match="stale-parent claim"):
+        tbl.commit({"extra": []})
+    # age-guarded GC clears it, then commits flow again
+    past = time.time() - 48 * 3600
+    os.utime(claim_path, (past, past))
+    res = maintenance.remove_orphan_files(root, older_than_hours=24)
+    assert res["deleted_claim_manifests"] == 1
+    snap = SnapshotTable(root).commit({"extra": []})
+    assert snap["parent_id"] == cur["snapshot_id"]
+
+
+def test_torn_claim_ages_out_and_commit_recovers(spark, tmp_path):
+    """A torn manifest file at parent+1 (legacy mid-write crash) blocks
+    sequential commits; orphan GC must age it out so the table
+    self-heals without manual surgery."""
+    import time
+
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 60, seed=8)
+    encode_job.encode(spark, df, root, commit_groups=1, direct_write=True)
+    tbl = SnapshotTable(root)
+    sid = tbl.current_snapshot()["snapshot_id"] + 1
+    torn_path = os.path.join(root, "_manifest", f"snapshot-{sid:06d}.json")
+    with open(torn_path, "w") as f:
+        f.write("not json{")
+
+    with pytest.raises(RuntimeError, match="not a well-formed manifest"):
+        tbl.commit({"extra": []})
+    res = maintenance.remove_orphan_files(root, older_than_hours=24)
+    assert res["deleted_claim_manifests"] == 0  # age guard: too fresh
+    past = time.time() - 48 * 3600
+    os.utime(torn_path, (past, past))
+    res = maintenance.remove_orphan_files(root, older_than_hours=24)
+    assert res["deleted_claim_manifests"] == 1
+    assert not os.path.exists(torn_path)
+    snap = tbl.commit({"extra": []})
+    assert snap["snapshot_id"] == sid

@@ -646,8 +646,11 @@ def _list_parquet(src_dir: str) -> list[str]:
     comma-separated URLs): plain HTTP has no directory listing — the
     same single-object shape as the reference's remote read."""
     if src_dir.startswith(("http://", "https://")):
+        from urllib.parse import urlparse
         urls = [u.strip() for u in src_dir.split(",") if u.strip()]
-        bad = [u for u in urls if not u.endswith(".parquet")]
+        # validate the URL *path* — presigned links carry query strings
+        # (?X-Amz-Signature=...) after the .parquet suffix
+        bad = [u for u in urls if not urlparse(u).path.endswith(".parquet")]
         if bad:
             raise ValueError(
                 f"http(s) sources must be direct .parquet URLs "

@@ -432,6 +432,23 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
         if tbl.fs.exists(path) and tbl.fs.mtime(path) <= cutoff:
             tbl.fs.delete(path)
             deleted_claims += 1
+    # TORN manifest files (parse failures — the old O_EXCL-then-write
+    # protocol could crash mid-claim-write) never appear in snapshots(),
+    # but a torn file at parent+1 blocks every commit of the sequential
+    # protocol; age them out here so the table self-heals. Well-formed
+    # chain members were already excluded above; a file that parses to
+    # a chain id is never touched.
+    wellformed = {s["snapshot_id"] for s in all_snaps}
+    for name in tbl.fs.listdir(tbl.manifest_dir):
+        if not (name.startswith("snapshot-") and name.endswith(".json")):
+            continue
+        sid_txt = name[len("snapshot-"):-len(".json")]
+        if not sid_txt.isdigit() or int(sid_txt) in wellformed:
+            continue
+        path = posixpath.join(tbl.manifest_dir, name)
+        if tbl.fs.exists(path) and tbl.fs.mtime(path) <= cutoff:
+            tbl.fs.delete(path)
+            deleted_claims += 1
     referenced: set[str] = set()
     for s in tbl.snapshots():
         for ps in s["groups"].values():

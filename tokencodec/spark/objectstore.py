@@ -95,9 +95,9 @@ class DirObjectStore:
         st = os.stat(p)
         return st.st_size, st.st_mtime
 
-    def list(self, prefix: str) -> list[str]:
+    def list(self, prefix: str, limit: int | None = None) -> list[str]:
         """All keys starting with ``prefix`` (S3 ListObjectsV2, no
-        delimiter)."""
+        delimiter); ``limit`` caps the result like MaxKeys."""
         out = []
         for dirpath, _, names in os.walk(self.base):
             for n in names:
@@ -107,7 +107,8 @@ class DirObjectStore:
                 key = os.path.relpath(full, self.base).replace(os.sep, "/")
                 if key.startswith(prefix):
                     out.append(key)
-        return sorted(out)
+        out.sort()
+        return out if limit is None else out[:limit]
 
     def delete(self, key: str) -> None:
         p = self._p(key)
@@ -138,8 +139,15 @@ class S3Client:
         try:
             self.c.put_object(**kwargs)
         except Exception as e:
-            if self._code(e) in ("PreconditionFailed", "412") or (
-                    if_none_match and "PreconditionFailed" in str(e)):
+            # 412 PreconditionFailed = the key exists; 409
+            # ConditionalRequestConflict = another conditional PUT to
+            # the same key is in flight (AWS returns it under exactly
+            # the contention this protocol exists for) — both mean
+            # "you lost", which commit() handles by rebasing
+            if self._code(e) in ("PreconditionFailed", "412",
+                                 "ConditionalRequestConflict", "409") or (
+                    if_none_match and ("PreconditionFailed" in str(e)
+                                       or "ConditionalRequestConflict" in str(e))):
                 raise PreconditionFailed(key) from e
             raise
 
@@ -160,15 +168,19 @@ class S3Client:
             raise
         return int(r["ContentLength"]), r["LastModified"].timestamp()
 
-    def list(self, prefix: str) -> list[str]:
+    def list(self, prefix: str, limit: int | None = None) -> list[str]:
         out = []
         token = None
         while True:
             kwargs = {"Bucket": self.bucket, "Prefix": prefix}
+            if limit is not None:
+                kwargs["MaxKeys"] = max(1, limit - len(out))
             if token:
                 kwargs["ContinuationToken"] = token
             r = self.c.list_objects_v2(**kwargs)
             out.extend(o["Key"] for o in r.get("Contents", []))
+            if limit is not None and len(out) >= limit:
+                return out[:limit]
             if not r.get("IsTruncated"):
                 return out
             token = r.get("NextContinuationToken")
@@ -210,7 +222,7 @@ class ObjectStoreFS:
         k = self._key(path)
         if self.client.head(k) is not None:
             return True
-        return bool(self.client.list(k + "/")[:1])
+        return bool(self.client.list(k + "/", limit=1))
 
     def read_text(self, path: str) -> str:
         try:
@@ -240,7 +252,8 @@ class ObjectStoreFS:
 
     def isdir(self, path: str) -> bool:
         k = self._key(path)
-        return self.client.head(k) is None and bool(self.client.list(k + "/")[:1])
+        return (self.client.head(k) is None
+                and bool(self.client.list(k + "/", limit=1)))
 
     def size(self, path: str) -> int:
         h = self.client.head(self._key(path))
@@ -256,7 +269,10 @@ class ObjectStoreFS:
         h = self.client.head(k)
         if h is not None:
             return h[1]
-        times = [self.client.head(key)[1] for key in self.client.list(k + "/")]
+        # an object can vanish between list and head (concurrent GC):
+        # skip it rather than crash the maintenance pass
+        heads = (self.client.head(key) for key in self.client.list(k + "/"))
+        times = [h[1] for h in heads if h is not None]
         if not times:
             return time.time()  # empty prefix: treat as brand new
         return max(times)

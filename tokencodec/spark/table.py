@@ -93,8 +93,15 @@ class SnapshotTable:
         """The newest committed snapshot: start from the CURRENT hint
         (or, when the hint is missing/unreadable, the highest
         well-formed manifest) and roll forward while ``snapshot-{n+1}``
-        exists — each commit is the create-exclusive of exactly
-        parent+1, so a successor file is always a newer commit."""
+        exists AND declares parent_id == n — each commit is the
+        create-exclusive of exactly parent+1 built on that parent, so a
+        successor violating the link is not a commit of this protocol.
+        The parent check is what makes upgrades safe: the OLD
+        claim-then-swap protocol could leave a dead claim at current+1
+        whose parent_id points at a STALE ancestor (a lost-race rebase
+        that crashed before its swap); adopting it would shadow the
+        committed snapshot and expose its solely-referenced data to
+        GC."""
         snap = None
         cur = posixpath.join(self.manifest_dir, "CURRENT")
         if self.fs.exists(cur):
@@ -113,7 +120,7 @@ class SnapshotTable:
             snap = all_snaps[-1]
         while True:
             nxt = self._read_snap(snap["snapshot_id"] + 1)
-            if nxt is None:
+            if nxt is None or nxt.get("parent_id") != snap["snapshot_id"]:
                 return snap
             snap = nxt
 
@@ -228,14 +235,29 @@ class SnapshotTable:
                                     json.dumps(snap, indent=1))
             except FileExistsError as e:
                 last_err = e
-                if self._read_snap(sid) is None:
+                occ = self._read_snap(sid)
+                if occ is None:
                     # the id is occupied by an unreadable file — with
-                    # content-atomic claims that is external corruption,
-                    # and retrying would recompute the same id forever
+                    # content-atomic claims that is external corruption
+                    # (or a torn claim from the pre-upgrade protocol),
+                    # and retrying would recompute the same id forever.
+                    # remove_orphan_files ages torn manifests out.
                     raise RuntimeError(
                         f"snapshot file {name} under {self.manifest_dir} exists "
-                        "but is not a well-formed manifest; remove it manually "
-                        "to unwedge the table") from e
+                        "but is not a well-formed manifest; run "
+                        "remove_orphan_files (age-guarded) or remove it "
+                        "manually to unwedge the table") from e
+                if occ.get("parent_id") != snap["parent_id"]:
+                    # occupied by a DEAD claim of the old claim-then-swap
+                    # protocol (its parent link bypasses the current
+                    # snapshot); retrying would loop on the same id, and
+                    # skipping past it would break roll-forward reads.
+                    raise RuntimeError(
+                        f"snapshot id {sid} is occupied by a stale-parent "
+                        f"claim (parent {occ.get('parent_id')}, expected "
+                        f"{snap['parent_id']}) left by the legacy commit "
+                        "protocol; run remove_orphan_files (age-guarded) "
+                        "to clear it") from e
                 continue  # lost the race: re-base on the winner and retry
             self.fs.write_atomic(posixpath.join(self.manifest_dir, "CURRENT"), name)
             return snap

@@ -141,7 +141,10 @@ def encode_vectors(spark: SparkSession, df: DataFrame, out_root: str,
     if "vectors" in tbl.committed_groups():
         return read_vector_pages(spark, out_root)
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:  # 'auto' under AQE coalescing
+            n_partitions = spark.sparkContext.defaultParallelism
     src = (df.select(F.col("vec_id").cast("bigint"),
                      F.col("embedding").cast("array<float>"),
                      F.col("label").cast("int"))
