@@ -141,3 +141,42 @@ def test_float_property_sweep(seed):
         else:
             v = np.full(n, rng.standard_normal(), dtype=dt)
         _roundtrip_bitexact(v)
+
+
+# ------------------------------------------------------- hypothesis sweeps
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(width=32, allow_nan=True, allow_infinity=True),
+                min_size=0, max_size=300))
+def test_hypothesis_float32_page_roundtrip(xs):
+    v = np.array(xs, dtype=np.float32)
+    out = pageformat.decode_float_page(pageformat.encode_float_page(v))
+    assert out.dtype == v.dtype
+    assert np.array_equal(_bits(out), _bits(v))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True),
+                min_size=0, max_size=300))
+def test_hypothesis_float64_page_roundtrip(xs):
+    v = np.array(xs, dtype=np.float64)
+    out = pageformat.decode_float_page(pageformat.encode_float_page(v))
+    assert out.dtype == v.dtype
+    assert np.array_equal(_bits(out), _bits(v))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=300),
+       st.integers(0, 4))
+def test_hypothesis_decimal_floats_alp_or_exact(ints, e):
+    """Decimal-quantized values: whatever codec wins, bits round-trip;
+    when the whole page is exactly representable the selector should
+    find ALP (it may legitimately fall back when float64 division makes
+    a value inexact)."""
+    v = (np.array(ints, dtype=np.float64) / (10.0 ** e)).astype(np.float32)
+    page = pageformat.encode_float_page(v)
+    out = pageformat.decode_float_page(page)
+    assert np.array_equal(_bits(out), _bits(v))

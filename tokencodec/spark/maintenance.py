@@ -45,7 +45,14 @@ _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
 def _merge_batches(uid_prefix: str):
     """mapInArrow: co-partitioned mergeable chunks -> re-encoded chunks.
     Buffers one (bucket, salt, gid) merge group at a time; groups are
-    budget-bounded by construction, so memory stays bounded."""
+    budget-bounded by construction, so memory stays bounded.
+
+    NOTE: _resplit_batches (below) and decode_job.make_stitch_batches
+    share this sorted-group-accumulate shape but differ on purpose —
+    merge re-encodes whole chunks (grouped token page decode), resplit
+    re-slices one doc per group, stitch emits decoded rows with a
+    byte-budget flush. A fix to the group-boundary handling in one
+    likely applies to all three."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from tokencodec.spark.decode_job import _binary_views, _string_array
