@@ -593,6 +593,65 @@ def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _incr_root(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Two streaming commits over the docs-derived token table, split
+    by a SQL-expressible predicate (doc number mod 3), so the second
+    commit's rows — the change set — can be restated by the oracle.
+    Returns (root, snapshot id of the FIRST commit)."""
+    from tokencodec.spark import streaming
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/incr_v1_n{n}"
+    src = root + "_src"
+    if root not in _ENGINE_CACHE:
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("bigint")
+        tbl = SnapshotTable(root)
+        if tbl.current_snapshot() is None:
+            df.filter(num % 3 != 0).write.mode("append").parquet(src)
+            streaming.encode_stream(spark, src, root)
+            df.filter(num % 3 == 0).write.mode("append").parquet(src)
+        # idempotent catch-up: a prior process that crashed between the
+        # second source drop and its stream commit resumes here; a
+        # caught-up table is a no-op
+        streaming.encode_stream(spark, src, root)
+        _ENGINE_CACHE[root] = root
+    return root, SnapshotTable(root).chain()[0]["snapshot_id"]
+
+
+def q_engine_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg's changelog read; round-4
+    decode_changes): decode ONLY the rows committed after a snapshot —
+    the shape an incremental training-data consumer runs per ingestion
+    cycle, paying O(new data) never O(table). The table holds two
+    streaming commits split by a doc-number predicate; changes since
+    the first commit must be EXACTLY the second drop, which DuckDB
+    recomputes from `documents` (same tok_sum + md5 protocol as
+    engine_decode_rows)."""
+    from tokencodec.spark import decode_job
+    root, sid0 = _incr_root(spark, sf_dir)
+    out = decode_job.decode_changes(spark, root, sid0)
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_INCREMENTAL_CHANGES = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t WHERE CAST(substring(doc_id, 2) AS BIGINT) % 3 = 0
+ORDER BY doc_id
+"""
+
+
 def q_engine_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity verification over the committed snapshot (the
     reference's page-byte accounting, Stream/Reader.hs:349-353,
@@ -1863,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_vectors_roundtrip": q_engine_vectors_roundtrip,
         "engine_vectors_pruned": q_engine_vectors_pruned,
         "engine_stream_encode": q_engine_stream_encode,
+        "engine_incremental_changes": q_engine_incremental_changes,
         "engine_fsck": q_engine_fsck,
         "schema_flatten": q_schema_flatten,
         "json_sink_roundtrip": q_json_sink_roundtrip,
@@ -1943,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         "engine_nested_roundtrip": SQL_ENGINE_NESTED_ROUNDTRIP,
         "engine_embed_roundtrip": SQL_ENGINE_EMBED_ROUNDTRIP,
+        "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
         "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
         # EVERY queries() entry is oracle-verified (round 4 closed the

@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
                           "e.g. doc_id,n_tok")
     dec.add_argument("--snapshot-id", type=int,
                      help="time travel: decode the table as of this snapshot")
+    dec.add_argument("--since-snapshot", type=int,
+                     help="incremental read: ONLY rows committed after "
+                          "this snapshot (O(new data), never O(table))")
     dec.add_argument("--sources", help="comma-separated source filter "
                                        "(chunk pruning + row re-filter)")
     dec.add_argument("--n-tok-min", type=int)
@@ -165,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"chunks": m.chunks, "tokens": int(m.tokens),
                               "raw_bytes": int(m.raw), "enc_bytes": int(m.enc),
                               "ratio": round(m.enc / m.raw, 4)}))
+        elif args.cmd == "decode" and args.since_snapshot is not None:
+            from tokencodec.spark import decode_job
+            df = decode_job.decode_changes(
+                spark, args.root, args.since_snapshot, packed=args.packed,
+                columns=(args.columns.split(",") if args.columns else None))
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "decode":
             from tokencodec.spark import decode_job
             df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,

@@ -288,7 +288,8 @@ def decode(spark: SparkSession, root: str,
            snapshot_id: int | None = None,
            sources: list[str] | None = None,
            n_tok_min: int | None = None,
-           n_tok_max: int | None = None) -> DataFrame:
+           n_tok_max: int | None = None,
+           paths: list[str] | None = None) -> DataFrame:
     """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
@@ -324,7 +325,7 @@ def decode(spark: SparkSession, root: str,
     if needs_doc and "doc_id" not in cols:
         cols = ["doc_id"] + cols
 
-    pages = read_pages(spark, root, snapshot_id=snapshot_id)
+    pages = read_pages(spark, root, snapshot_id=snapshot_id, paths=paths)
     if doc_id_min is not None:
         pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
     if doc_id_max is not None:
@@ -455,3 +456,47 @@ def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict
     extra = decoded.exceptAll(original).count()
     return {"missing": missing, "extra": extra,
             "ok": missing == 0 and extra == 0}
+
+
+def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
+    """Data paths ADDED by commits after ``since_snapshot_id`` on the
+    current chain (manifest walk only — no Spark job). Append commits
+    contribute the paths of their ``new_groups``; replace commits
+    (compaction) change only the physical layout of already-committed
+    rows and contribute nothing. Raises when ``since`` is not on the
+    retained chain: after expiry the walk cannot prove the change set
+    is complete (the standard incremental-scan caveat — consume changes
+    inside the snapshot-retention window)."""
+    tbl = SnapshotTable(root)
+    chain = tbl.chain()
+    if not chain:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    ids = [s["snapshot_id"] for s in chain]
+    if since_snapshot_id not in ids:
+        raise ValueError(
+            f"snapshot {since_snapshot_id} is not on the retained chain "
+            f"{ids} (expired or never committed): incremental changes "
+            "cannot be enumerated completely")
+    out: list[str] = []
+    for s in chain[ids.index(since_snapshot_id) + 1:]:
+        if s.get("metrics", {}).get("op") == "compact":
+            continue  # rewrite-files: no logical rows added
+        for k in s.get("new_groups", []):
+            out.extend(s["groups"].get(k, []))
+    return out
+
+
+def decode_changes(spark: SparkSession, root: str, since_snapshot_id: int,
+                   packed: bool = False,
+                   columns: list[str] | None = None) -> DataFrame:
+    """Incremental read (Iceberg's incremental append scan): decode
+    ONLY the rows committed after ``since_snapshot_id`` — the shape an
+    incremental training-data consumer runs per ingestion cycle, paying
+    O(new data), never O(table). Split documents are safe: a split
+    group's parts are always committed together inside one group, so
+    reassembly sees every part. Paths come straight from the manifest
+    chain (changed_paths); files of append commits survive later
+    compaction until snapshot expiry, so consume within the retention
+    window."""
+    return decode(spark, root, packed=packed, columns=columns,
+                  paths=changed_paths(root, since_snapshot_id))

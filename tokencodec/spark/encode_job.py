@@ -764,10 +764,17 @@ def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
 
 
 def read_pages(spark: SparkSession, root: str,
-               snapshot_id: int | None = None) -> DataFrame:
+               snapshot_id: int | None = None,
+               paths: list[str] | None = None) -> DataFrame:
     """Pages of the current snapshot, or of ``snapshot_id`` (time
     travel: snapshots are immutable, so any historical table state
-    stays readable until its files are garbage-collected)."""
+    stays readable until its files are garbage-collected). An explicit
+    ``paths`` list reads exactly those committed data paths instead
+    (the incremental-changes scan, decode_job.decode_changes)."""
+    if paths is not None:
+        if not paths:
+            return spark.createDataFrame([], PAGES_DDL)
+        return spark.read.schema(PAGES_DDL).parquet(*paths)
     tbl = SnapshotTable(root)
     # distinguish "never committed" (an error) from "validly committed
     # empty table" (all groups empty — a legal state a resumed job must
