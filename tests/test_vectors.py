@@ -134,3 +134,34 @@ def test_vectors_fsck_clean_and_detects_corruption(spark, tmp_path):
     bad = fsck.fsck_vectors(spark, root).filter("not ok")
     assert bad.count() == 1
     assert "crc" in bad.collect()[0].error.lower()
+
+
+def test_vectors_append_groups_and_incremental_read(spark, tmp_path):
+    """Incremental vector ingestion: a second batch appends under a new
+    group; readers see the union, and decode_vector_changes returns
+    exactly the new batch (compaction-free manifest-walk semantics of
+    decode_changes)."""
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    a = src.filter("vec_id < 250")
+    b = src.filter("vec_id >= 250")
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, a, root, chunk_rows=64)
+    sid0 = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    vectors.encode_vectors(spark, b, root, chunk_rows=64, group="batch-2")
+
+    assert _bits(vectors.decode_vectors(spark, root).collect()) \
+        == _bits(src.collect())
+    ch = vectors.decode_vector_changes(spark, root, sid0)
+    assert _bits(ch.collect()) == _bits(b.collect())
+    cur = SnapshotTable(root).current_snapshot()["snapshot_id"]
+    assert vectors.decode_vector_changes(spark, root, cur).count() == 0
+
+
+def test_vectors_appended_batches_have_unique_chunk_uids(spark, tmp_path):
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, src.filter("vec_id < 250"), root, chunk_rows=64)
+    vectors.encode_vectors(spark, src.filter("vec_id >= 250"), root,
+                           chunk_rows=64, group="batch-2")
+    pages = vectors.read_vector_pages(spark, root)
+    assert pages.count() == pages.select("chunk_uid").distinct().count()

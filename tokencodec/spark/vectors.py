@@ -63,14 +63,16 @@ _VEC_TYPES = {
 
 def _encode_vec_chunk(seq: int, part: int, ids: np.ndarray,
                       values: np.ndarray, dim: int,
-                      labels: np.ndarray) -> dict:
+                      labels: np.ndarray, group: str = "vectors") -> dict:
     p_id = pageformat.encode_int_page(ids, pageformat.KIND_INT64)
     p_emb = pageformat.encode_float_page(values)
     p_lab = pageformat.encode_int_page(labels, pageformat.KIND_INT32)
     heads = [pageformat.read_header(p) for p in (p_id, p_emb, p_lab)]
     return {
         "chunk_seq": seq,
-        "chunk_uid": f"v-p{part:05d}-c{seq:06d}",
+        # group-prefixed: appended batches (fresh group names) can never
+        # repeat a uid from an earlier commit
+        "chunk_uid": f"{group}-p{part:05d}-c{seq:06d}",
         "n_rows": len(ids), "dim": dim,
         "vec_id_min": int(ids.min()) if len(ids) else 0,
         "vec_id_max": int(ids.max()) if len(ids) else 0,
@@ -83,7 +85,7 @@ def _encode_vec_chunk(seq: int, part: int, ids: np.ndarray,
     }
 
 
-def _encode_batches(chunk_rows: int):
+def _encode_batches(chunk_rows: int, group: str = "vectors"):
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
         part = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -114,7 +116,8 @@ def _encode_batches(chunk_rows: int):
                     b = min(e, a + chunk_rows)
                     rows.append(_encode_vec_chunk(
                         seq, part, ids[a:b],
-                        values[offsets[a]:offsets[b]], dim, labels[a:b]))
+                        values[offsets[a]:offsets[b]], dim, labels[a:b],
+                        group=group))
                     seq += 1
                     if len(rows) >= 8:
                         yield _rows_to_batch(rows)
@@ -134,11 +137,16 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
 
 def encode_vectors(spark: SparkSession, df: DataFrame, out_root: str,
                    chunk_rows: int = 4096, n_partitions: int | None = None,
-                   parquet_codec: str = "zstd") -> DataFrame:
+                   parquet_codec: str = "zstd",
+                   group: str = "vectors") -> DataFrame:
     """Encode a (vec_id, embedding, label) DataFrame into a snapshot
-    table under ``out_root``; returns the committed pages DataFrame."""
+    table under ``out_root``; returns the committed pages DataFrame.
+    ``group`` names the commit group: the default makes re-runs
+    idempotent; incremental ingestion appends further batches under
+    fresh group names (readers see the union; decode_changes consumes
+    just the new ones)."""
     tbl = SnapshotTable(out_root)
-    if "vectors" in tbl.committed_groups():
+    if group in tbl.committed_groups():
         return read_vector_pages(spark, out_root)
     if n_partitions is None:
         try:
@@ -150,7 +158,7 @@ def encode_vectors(spark: SparkSession, df: DataFrame, out_root: str,
                      F.col("label").cast("int"))
            .repartitionByRange(n_partitions, "vec_id")
            .sortWithinPartitions("vec_id"))
-    pages = src.mapInArrow(_encode_batches(chunk_rows), VEC_PAGES_DDL)
+    pages = src.mapInArrow(_encode_batches(chunk_rows, group), VEC_PAGES_DDL)
     from pyspark.sql import Observation
     obs = Observation()
     pages = pages.observe(obs,
@@ -163,12 +171,17 @@ def encode_vectors(spark: SparkSession, df: DataFrame, out_root: str,
         .parquet(run_dir)
     m = {k: int(v or 0) for k, v in obs.get.items()}
     m["op"] = "encode_vectors"
-    tbl.commit({"vectors": [run_dir]}, metrics=m)
+    tbl.commit({group: [run_dir]}, metrics=m)
     return read_vector_pages(spark, out_root)
 
 
 def read_vector_pages(spark: SparkSession, root: str,
-                      snapshot_id: int | None = None) -> DataFrame:
+                      snapshot_id: int | None = None,
+                      paths: list[str] | None = None) -> DataFrame:
+    if paths is not None:
+        if not paths:
+            return spark.createDataFrame([], VEC_PAGES_DDL)
+        return spark.read.schema(VEC_PAGES_DDL).parquet(*paths)
     tbl = SnapshotTable(root)
     paths = tbl.data_paths(snapshot_id)
     if not paths:
@@ -211,11 +224,13 @@ def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 def decode_vectors(spark: SparkSession, root: str,
                    vec_id_min: int | None = None,
                    vec_id_max: int | None = None,
-                   snapshot_id: int | None = None) -> DataFrame:
+                   snapshot_id: int | None = None,
+                   paths: list[str] | None = None) -> DataFrame:
     """Exact inverse of encode_vectors (bit-identical embeddings).
     Id-range predicates prune whole chunks on the recorded stats before
     any page is parsed, then re-filter rows."""
-    pages = read_vector_pages(spark, root, snapshot_id=snapshot_id)
+    pages = read_vector_pages(spark, root, snapshot_id=snapshot_id,
+                              paths=paths)
     if vec_id_min is not None:
         pages = pages.filter(F.col("vec_id_max") >= vec_id_min)
     if vec_id_max is not None:
@@ -228,3 +243,13 @@ def decode_vectors(spark: SparkSession, root: str,
     if vec_id_max is not None:
         out = out.filter(F.col("vec_id") <= vec_id_max)
     return out
+
+
+def decode_vector_changes(spark: SparkSession, root: str,
+                          since_snapshot_id: int) -> DataFrame:
+    """Incremental append scan over a vector table (same manifest-walk
+    semantics as decode_job.decode_changes): only batches committed
+    after ``since_snapshot_id``, O(new vectors) per cycle."""
+    from tokencodec.spark.decode_job import changed_paths
+    return decode_vectors(spark, root,
+                          paths=changed_paths(root, since_snapshot_id))
