@@ -78,3 +78,85 @@ def test_many_part_doc_reassembles_packed_and_list(spark, tmp_path):
     nt = {r.doc_id: r.n_tok for r in decode_job.decode(
         spark, root, columns=["doc_id", "n_tok"]).collect()}
     assert nt == {"big-0": n, "small-0": 3}
+
+
+def _part_row(doc_id: str, toks, part: int):
+    """One split-part page row (single-doc chunk), as stitch sees it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokencodec import pageformat
+
+    def spage(s: str) -> bytes:
+        b = s.encode()
+        return pageformat.encode_string_page(
+            np.array([0, len(b)], dtype=np.int64), np.frombuffer(b, np.uint8))
+
+    return {
+        "page_doc_id": spage(doc_id),
+        "page_source": spage("src"),
+        "page_tokens": pageformat.encode_int_page(
+            np.asarray(toks, dtype=np.int64)),
+        "page_n_tok": pageformat.encode_int_page(
+            np.array([len(toks)], dtype=np.int64)),
+        "sgrp": f"{doc_id}-uid",
+        "doc_part": part,
+    }
+
+
+def test_stitch_flushes_before_int32_offset_overflow(monkeypatch):
+    """ADVICE r4 (medium): the flush check used to run only BETWEEN
+    groups, so a final huge reassembled doc on top of a nearly-full
+    buffer could push packed value bytes past int32 and the offsets
+    would astype-wrap silently. The stitcher must flush BEFORE the
+    append would cross the ceiling; driven in-process with a shrunken
+    ceiling."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokencodec.spark import decode_job as dj
+
+    monkeypatch.setattr(dj, "STITCH_INT32_SAFE", 1000)   # 250 tokens
+    monkeypatch.setattr(dj, "STITCH_FLUSH_BYTES", 1 << 40)  # only the guard
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    stitch, page_cols = dj.make_stitch_batches(packed=True, cols=cols)
+
+    rng = np.random.default_rng(7)
+    docs = {f"d{i}": rng.integers(0, 1 << 20, 200) for i in range(3)}
+    rows = []
+    for did, toks in docs.items():  # two parts per doc, in sgrp order
+        rows.append(_part_row(did, toks[:100], 0))
+        rows.append(_part_row(did, toks[100:], 1))
+    batch = pa.RecordBatch.from_pylist(rows).select(
+        page_cols + ["sgrp", "doc_part"])
+
+    out = list(stitch(iter([batch])))
+    # 3 docs x 800 value bytes with a 1000-byte ceiling: one doc per batch
+    assert [b.num_rows for b in out] == [1, 1, 1]
+    got = {}
+    for b in out:
+        d = b.to_pylist()[0]
+        assert len(d["tokens"]) == d["n_tok"] * 4
+        got[d["doc_id"]] = np.frombuffer(d["tokens"], dtype="<i4")
+    for did, toks in docs.items():
+        assert np.array_equal(got[did], toks.astype(np.int32))
+
+
+def test_stitch_raises_instead_of_wrapping(monkeypatch):
+    """A single reassembled doc larger than the int32 ceiling must be a
+    loud error, never silently corrupt packed offsets."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from tokencodec.spark import decode_job as dj
+
+    monkeypatch.setattr(dj, "STITCH_INT32_SAFE", 1000)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    stitch, page_cols = dj.make_stitch_batches(packed=True, cols=cols)
+    toks = np.arange(300)  # 1200 value bytes > ceiling, single group
+    rows = [_part_row("big", toks[:150], 0), _part_row("big", toks[150:], 1)]
+    batch = pa.RecordBatch.from_pylist(rows).select(
+        page_cols + ["sgrp", "doc_part"])
+    with pytest.raises(ValueError, match="int32 binary offsets"):
+        list(stitch(iter([batch])))

@@ -130,7 +130,10 @@ def test_encode_from_http_source_byte_identical(spark, tmp_path):
     srv, base = _serve(_RangeHandler, src)
     try:
         names = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
-        urls = ",".join(f"{base}/{n}" for n in names)
+        # a LIST of URLs (the API boundary that survives presigned URLs
+        # with commas in their query strings); the string form uses
+        # whitespace separators — see test below
+        urls = [f"{base}/{n}" for n in names]
 
         def fingerprint(root_suffix, src_addr):
             root = str(tmp_path / root_suffix)
@@ -153,3 +156,20 @@ def test_http_source_rejects_non_parquet_url():
 
     with pytest.raises(ValueError, match="direct .parquet URLs"):
         encode_job._list_parquet("http://example.invalid/dir/")
+
+
+def test_http_source_url_forms():
+    """URL lists pass through verbatim; the string form splits on
+    whitespace (never commas — presigned URLs legally carry commas in
+    query parameters like X-Amz-SignedHeaders=host;a,b)."""
+    from tokencodec.spark import encode_job
+
+    presigned = ("https://b.example/x.parquet"
+                 "?X-Amz-SignedHeaders=host%3Bx-amz-date,x-amz-meta"
+                 "&X-Amz-Signature=abc")
+    assert encode_job._list_parquet([presigned]) == [presigned]
+    two = f"{presigned}\nhttp://b.example/y.parquet"
+    assert encode_job._list_parquet(two) == [
+        presigned, "http://b.example/y.parquet"]
+    with pytest.raises(ValueError, match="http\\(s\\) URLs only"):
+        encode_job._list_parquet(["/local/path.parquet"])

@@ -222,6 +222,106 @@ def test_s3client_error_translation(tmp_path):
     assert SnapshotTable("s3://bkt/t", fs=fs).current_snapshot()["snapshot_id"] == 1
 
 
+def test_s3client_409_retry_semantics(monkeypatch):
+    """409 ConditionalRequestConflict means a competing conditional PUT
+    is merely IN FLIGHT — it may itself fail, so the client must retry
+    rather than declare a lost race (which would send commit() down the
+    'manifest is torn, unwedge the table' path on plain contention)."""
+    from botocore.exceptions import ClientError
+
+    monkeypatch.setattr(S3Client, "_BACKOFF_409", 0.0)
+
+    class Conflicting:
+        def __init__(self, conflicts, then_exists=False):
+            self.conflicts = conflicts
+            self.then_exists = then_exists
+            self.objs = {}
+            self.calls = 0
+
+        def put_object(self, Bucket, Key, Body, **kw):
+            if kw.get("IfNoneMatch") == "*":
+                self.calls += 1
+                if self.calls <= self.conflicts:
+                    raise ClientError(
+                        {"Error": {"Code": "ConditionalRequestConflict"}},
+                        "PutObject")
+                if self.then_exists or Key in self.objs:
+                    raise ClientError(
+                        {"Error": {"Code": "PreconditionFailed"}}, "PutObject")
+            self.objs[Key] = Body
+
+        def head_object(self, Bucket, Key):
+            if self.then_exists:
+                import datetime
+                return {"ContentLength": 1,
+                        "LastModified": datetime.datetime.now(
+                            datetime.timezone.utc)}
+            raise ClientError({"Error": {"Code": "404"}}, "HeadObject")
+
+    # transient conflict (competing PUT failed): retry wins the key
+    stub = Conflicting(conflicts=2)
+    c = S3Client("bkt", client=stub)
+    c.put("k", b"v", if_none_match=True)
+    assert stub.objs["k"] == b"v" and stub.calls == 3
+
+    # conflict resolves into an existing key: a genuine lost race
+    stub = Conflicting(conflicts=S3Client._RETRIES_409 + 1, then_exists=True)
+    with pytest.raises(PreconditionFailed):
+        S3Client("bkt", client=stub).put("k", b"v", if_none_match=True)
+
+    # persistent 409 with the key still absent: surface the transient
+    # error itself — NOT PreconditionFailed, so commit() never misreads
+    # contention as a torn manifest
+    stub = Conflicting(conflicts=10 ** 6)
+    with pytest.raises(ClientError):
+        S3Client("bkt", client=stub).put("k", b"v", if_none_match=True)
+
+
+def test_fs_for_explicit_unsafe_uses_hadoop_for_s3(monkeypatch):
+    """An EXPLICIT allow_unsafe=True on an s3 root requests the Hadoop
+    s3a backend (single-writer escape hatch for credential setups boto3
+    cannot replicate) instead of being silently overridden by the
+    native client; the env var alone must NOT demote s3."""
+    import tokencodec.spark.fsio as fsio
+
+    sentinel = object()
+    monkeypatch.setattr(fsio, "HadoopFS", lambda root: sentinel)
+    assert fs_for("s3a://bkt/t", allow_unsafe=True) is sentinel
+    # env opt-in keeps the safer native path for s3 schemes
+    monkeypatch.setenv("TOKENCODEC_ALLOW_UNSAFE_ROOT", "1")
+    assert isinstance(fs_for("s3a://bkt/t"), ObjectStoreFS)
+
+
+def test_s3a_conf_harvest(spark):
+    """fs.s3a.* (incl. per-bucket overrides) from the active session
+    reaches boto3 kwargs, so manifest IO targets the same endpoint
+    Spark's s3a connector reads data through (MinIO-style deployments)."""
+    from tokencodec.spark.objectstore import _s3a_boto3_kwargs
+
+    conf = spark._jsc.hadoopConfiguration()
+    keys = {"fs.s3a.endpoint": "minio.internal:9000",
+            "fs.s3a.connection.ssl.enabled": "false",
+            "fs.s3a.access.key": "ak",
+            "fs.s3a.secret.key": "sk",
+            "fs.s3a.path.style.access": "true",
+            "fs.s3a.bucket.special.endpoint": "https://other.example"}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        kw = _s3a_boto3_kwargs("bkt")
+        assert kw["endpoint_url"] == "http://minio.internal:9000"
+        assert kw["aws_access_key_id"] == "ak"
+        assert kw["aws_secret_access_key"] == "sk"
+        assert kw["_path_style"] is True
+        # per-bucket override wins for its bucket only
+        assert _s3a_boto3_kwargs("special")["endpoint_url"] == (
+            "https://other.example")
+    finally:
+        for k in keys:
+            conf.unset(k)
+    assert "endpoint_url" not in _s3a_boto3_kwargs("bkt")
+
+
 def test_fs_for_routes_s3_to_objectstore():
     """With boto3 importable, s3:// roots resolve to the native
     conditional-put backend instead of being refused (the r3 judge's

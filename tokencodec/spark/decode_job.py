@@ -43,6 +43,14 @@ from tokencodec.spark.encode_job import read_pages
 from tokencodec.spark.table import SnapshotTable
 
 ALL_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+# stitch batching: emit once finished docs accumulate this many value
+# bytes (memory bound), and NEVER let one packed batch's value bytes
+# reach the int32 binary-offset ceiling — offsets[-1] = 4 * tokens must
+# stay below 2^31 or `(offsets * 4).astype(np.int32)` would wrap
+# silently into corrupt offsets
+STITCH_FLUSH_BYTES = 1 << 29
+STITCH_INT32_SAFE = (1 << 31) - 8
 _COL_PAGE = {"doc_id": "page_doc_id", "tokens": "page_tokens",
              "n_tok": "page_n_tok", "source": "page_source"}
 _LINEAGE_COLS = ["doc_part", "doc_parts", "split_uid"]
@@ -149,11 +157,10 @@ def make_stitch_batches(packed: bool, cols: list[str]):
     page_cols = sorted({_COL_PAGE[c] for c in dec_cols}
                        | ({"page_tokens"} if need_tok else set())
                        | ({"page_n_tok"} if need_ntok else set()))
-    # emit a batch once finished docs accumulate this many value bytes
-    # (keeps int32 binary offsets far from overflow and memory bounded)
-    _FLUSH_BYTES = 1 << 29
-
     def stitch(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # bind at call time so tests can shrink the thresholds
+        _FLUSH_BYTES = STITCH_FLUSH_BYTES
+        _INT32_SAFE = STITCH_INT32_SAFE
         cur = None
         vals: list[np.ndarray] = []
         ntok = 0
@@ -161,20 +168,32 @@ def make_stitch_batches(packed: bool, cols: list[str]):
         done: dict[str, list] = {c: [] for c in cols}
         done_bytes = 0
 
-        def finish_group():
+        def finish_group() -> pa.RecordBatch | None:
+            """Close the accumulating group into ``done``. Returns a
+            batch to yield first when appending the finished doc would
+            push the buffered value bytes past the int32 offset ceiling
+            (a near-2^31-byte reassembled doc on top of an almost-full
+            buffer — the _FLUSH_BYTES check alone runs only between
+            groups and would let the packed offsets wrap silently)."""
             nonlocal ntok, vals, first, done_bytes
             if cur is None:
-                return
-            for c in dec_cols:
-                done[c].append(first[c])
+                return None
+            pre = None
+            v = None
             if need_tok:
                 v = (np.concatenate(vals) if len(vals) != 1
                      else vals[0]).astype(np.int32, copy=False)
+                if done_bytes and done_bytes + v.nbytes > _INT32_SAFE:
+                    pre = flush()
+            for c in dec_cols:
+                done[c].append(first[c])
+            if need_tok:
                 done["tokens"].append(v)
                 done_bytes += v.nbytes
             if need_ntok:
                 done["n_tok"].append(ntok)
             vals, ntok, first = [], 0, {}
+            return pre
 
         def flush() -> pa.RecordBatch | None:
             nonlocal done, done_bytes
@@ -191,6 +210,11 @@ def make_stitch_batches(packed: bool, cols: list[str]):
                     values = (np.concatenate(done["tokens"])
                               if done["tokens"] else np.empty(0, np.int32))
                     if packed:
+                        if int(offsets[-1]) * 4 > _INT32_SAFE:
+                            # belt-and-braces: never astype-wrap offsets
+                            raise ValueError(
+                                f"packed stitch batch of {int(offsets[-1]) * 4} "
+                                "value bytes exceeds int32 binary offsets")
                         arrays.append(pa.Array.from_buffers(
                             pa.binary(), n,
                             [None,
@@ -217,7 +241,9 @@ def make_stitch_batches(packed: bool, cols: list[str]):
             for r in range(batch.num_rows):
                 g = grps[r].as_py()
                 if g != cur:
-                    finish_group()
+                    pre = finish_group()
+                    if pre is not None:
+                        yield pre
                     cur = g
                     if done_bytes >= _FLUSH_BYTES:
                         b = flush()
@@ -232,7 +258,9 @@ def make_stitch_batches(packed: bool, cols: list[str]):
                 if dec_cols and not first:
                     for c in dec_cols:
                         first[c] = _string_array(pages[_COL_PAGE[c]])[0].as_py()
-        finish_group()
+        pre = finish_group()
+        if pre is not None:
+            yield pre
         b = flush()
         if b is not None:
             yield b
@@ -336,13 +364,15 @@ def decode(spark: SparkSession, root: str,
         # keep chunks whose recorded source set overlaps the filter;
         # NULL set = unknown = keep. source_set is a JSON array (safe
         # for any source value); legacy tables recorded a comma-joined
-        # string — detect by the leading '[' and fall back to split,
-        # with the historical caveat that a legacy source containing a
-        # comma may be mis-pruned (re-encode or compact to migrate)
-        recorded = F.when(
-            F.col("source_set").startswith("["),
-            F.from_json(F.col("source_set"), "array<string>")
-        ).otherwise(F.split(F.col("source_set"), ","))
+        # string — try the JSON parse first and COALESCE to the legacy
+        # split when it fails (a leading-'[' sniff would misparse a
+        # legacy set whose first source itself starts with '[' into
+        # NULL and silently prune the chunk). Historical caveat stays:
+        # a legacy source containing a comma may be mis-pruned
+        # (re-encode or compact to migrate).
+        recorded = F.coalesce(
+            F.from_json(F.col("source_set"), "array<string>"),
+            F.split(F.col("source_set"), ","))
         pages = pages.filter(
             F.col("source_set").isNull()
             | (F.size(F.array_intersect(

@@ -425,8 +425,12 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
            max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
            partitions: int | None = None,
            parquet_codec: str = "zstd",
-           direct_write: bool = False) -> DataFrame:
+           direct_write: bool = False,
+           extra_metrics: dict | None = None) -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF.
+
+    ``extra_metrics`` entries are merged into every group commit's
+    metrics (caller-level provenance, e.g. packing parameters).
 
     ``direct_write=True`` writes pages parquet with pyarrow inside each
     task and commits the collected file list (Iceberg's task-file /
@@ -509,7 +513,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                  "enc_bytes": sum(r["enc_bytes"] for r in rows),
                  "max_doc_parts": max((r["max_doc_parts"] for r in rows),
                                       default=0),
-                 "scheme": scheme}
+                 "scheme": scheme, **(extra_metrics or {})}
             if rows:
                 m["pass_wall_sec"] = round(wall, 3)
                 m["pass_groups"] = len(remaining)
@@ -567,6 +571,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         gdir = group_dirs[g]
         m = {name: int(observed[f"{name}_{g}"] or 0) for name in _METRIC_AGGS}
         m["scheme"] = scheme
+        m.update(extra_metrics or {})
         totals = next_table_totals(parent, m)
         if totals is not None:
             m["table_totals"] = totals
@@ -638,24 +643,25 @@ def _open_parquet(path: str):
     return pq.ParquetFile(path)
 
 
-def _list_parquet(src_dir: str) -> list[str]:
+def _list_parquet(src_dir) -> list[str]:
     """*.parquet files directly under ``src_dir`` (path or URI), each
     returned in the same addressing form the caller used — URIs keep
     their scheme and authority so workers can re-resolve them. An
-    http(s) source must name the .parquet file(s) directly (one URL, or
-    comma-separated URLs): plain HTTP has no directory listing — the
-    same single-object shape as the reference's remote read."""
+    http(s) source must name the .parquet file(s) directly: pass a
+    list/tuple of URLs, or one string with URLs separated by
+    whitespace/newlines (NOT commas — presigned URLs legally contain
+    commas in query parameters, e.g. X-Amz-SignedHeaders; whitespace
+    is never legal unencoded in a URL). Plain HTTP has no directory
+    listing — the same single-object shape as the reference's remote
+    read."""
+    if isinstance(src_dir, (list, tuple)):
+        urls = [u.strip() for u in src_dir if u.strip()]
+        if not all(u.startswith(("http://", "https://")) for u in urls):
+            raise ValueError("source lists are supported for http(s) "
+                             "URLs only; pass directories as one string")
+        return _validated_urls(urls)
     if src_dir.startswith(("http://", "https://")):
-        from urllib.parse import urlparse
-        urls = [u.strip() for u in src_dir.split(",") if u.strip()]
-        # validate the URL *path* — presigned links carry query strings
-        # (?X-Amz-Signature=...) after the .parquet suffix
-        bad = [u for u in urls if not urlparse(u).path.endswith(".parquet")]
-        if bad:
-            raise ValueError(
-                f"http(s) sources must be direct .parquet URLs "
-                f"(no directory listing over HTTP): {bad[0]}")
-        return urls
+        return _validated_urls([u for u in src_dir.split() if u])
     if "://" in src_dir:
         from pyarrow import fs as pafs
         f, base = pafs.FileSystem.from_uri(src_dir)
@@ -668,7 +674,19 @@ def _list_parquet(src_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
 
 
-def parquet_splits(src_dir: str,
+def _validated_urls(urls: list[str]) -> list[str]:
+    # validate the URL *path* — presigned links carry query strings
+    # (?X-Amz-Signature=...) after the .parquet suffix
+    from urllib.parse import urlparse
+    bad = [u for u in urls if not urlparse(u).path.endswith(".parquet")]
+    if bad:
+        raise ValueError(
+            f"http(s) sources must be direct .parquet URLs "
+            f"(no directory listing over HTTP): {bad[0]}")
+    return urls
+
+
+def parquet_splits(src_dir,
                    return_stats: bool = False):
     """(file, row-group) splits; with return_stats also the total row
     count and uncompressed byte size from the footers (one footer pass)."""
@@ -724,7 +742,7 @@ def _read_and_pack(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 lo = hi
 
 
-def pack_source(spark: SparkSession, src_dir: str,
+def pack_source(spark: SparkSession, src_dir: "str | list[str]",
                 splits: list[tuple[str, int]] | None = None) -> DataFrame:
     """Token table as (doc_id, tokens BINARY, n_tok, source) read by
     pyarrow inside workers — the fast transport for encode(). Reads any
@@ -747,8 +765,8 @@ def pack_source(spark: SparkSession, src_dir: str,
 TARGET_TASK_BYTES = 16 << 20
 
 
-def encode_from_parquet(spark: SparkSession, src_dir: str, out_root: str,
-                        **kw) -> DataFrame:
+def encode_from_parquet(spark: SparkSession, src_dir: "str | list[str]",
+                        out_root: str, **kw) -> DataFrame:
     """encode() over a parquet directory via the fast file-split source;
     one footer pass discovers splits, the row count for salting, and the
     byte size for task sizing. Defaults to the direct task-side write

@@ -234,14 +234,22 @@ def fs_for(root: str, allow_unsafe: bool | None = None):
     ``allow_unsafe`` opts a rename-unsafe scheme into single-writer
     mode; None defers to the TOKENCODEC_ALLOW_UNSAFE_ROOT env var so
     deployments can flip it without threading a flag through every
-    entry point (SnapshotTable/encode/CLI all land here)."""
+    entry point (SnapshotTable/encode/CLI all land here). An EXPLICIT
+    ``allow_unsafe=True`` on an s3 scheme is honored as a request for
+    the Hadoop s3a backend (single-writer): escape hatch for
+    deployments whose s3a credential setup (custom providers, assumed
+    roles) boto3 cannot replicate even with the fs.s3a.* endpoint/key
+    harvesting the native client performs. The env var does NOT demote
+    s3 — it exists to enable gs/wasb, and native conditional-PUT
+    commits stay the safer default wherever they work."""
+    explicit_unsafe = allow_unsafe is True
     if allow_unsafe is None:
         allow_unsafe = os.environ.get(
             "TOKENCODEC_ALLOW_UNSAFE_ROOT", "") not in ("", "0", "false")
     scheme = root.split("://", 1)[0] if "://" in root else ""
     if scheme in ("", "file"):
         return LocalFS()
-    if scheme in _S3_SCHEMES:
+    if scheme in _S3_SCHEMES and not explicit_unsafe:
         try:
             import boto3  # noqa: F401
         except ImportError:

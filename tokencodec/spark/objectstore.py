@@ -116,15 +116,69 @@ class DirObjectStore:
             os.unlink(p)
 
 
+def _s3a_boto3_kwargs(bucket: str) -> dict:
+    """Harvest the active SparkSession's fs.s3a.* Hadoop configuration
+    into boto3 client kwargs, so native manifest IO targets the SAME
+    endpoint/credentials Spark's s3a connector reads data through. On a
+    MinIO/custom-endpoint deployment, ignoring fs.s3a.endpoint would
+    silently aim manifest PUTs at a same-named bucket on real AWS.
+    Per-bucket overrides (fs.s3a.bucket.<name>.*) take precedence, as
+    in hadoop-aws. No session (bare CLI) or no s3a config → {} →
+    boto3's default chain, matching s3a's own default-AWS behavior."""
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if spark is None:
+        return {}
+    conf = spark._jsc.hadoopConfiguration()
+
+    def get(k: str):
+        for key in (f"fs.s3a.bucket.{bucket}.{k}", f"fs.s3a.{k}"):
+            v = conf.get(key)
+            if v:
+                return v
+        return None
+
+    out: dict = {}
+    ep = get("endpoint")
+    if ep and ep not in ("s3.amazonaws.com", "amazonaws.com"):
+        if "://" not in ep:
+            ssl = (get("connection.ssl.enabled") or "true").lower() != "false"
+            ep = ("https://" if ssl else "http://") + ep
+        out["endpoint_url"] = ep
+    ak, sk = get("access.key"), get("secret.key")
+    if ak and sk:
+        out["aws_access_key_id"] = ak
+        out["aws_secret_access_key"] = sk
+        tok = get("session.token")
+        if tok:
+            out["aws_session_token"] = tok
+    region = get("endpoint.region")
+    if region:
+        out["region_name"] = region
+    if (get("path.style.access") or "").lower() == "true":
+        out["_path_style"] = True
+    return out
+
+
 class S3Client:
     """boto3-backed bucket-scoped client (same protocol as
     DirObjectStore). Conditional create uses ``IfNoneMatch="*"`` —
-    S3 returns HTTP 412 PreconditionFailed when the key exists."""
+    S3 returns HTTP 412 PreconditionFailed when the key exists.
+    Endpoint/credentials/addressing come from the active session's
+    fs.s3a.* configuration when present (``_s3a_boto3_kwargs``), so
+    manifest IO and Spark's data IO always hit the same store."""
 
     def __init__(self, bucket: str, client=None):
         if client is None:
             import boto3
-            client = boto3.client("s3")
+            kw = _s3a_boto3_kwargs(bucket)
+            if kw.pop("_path_style", False):
+                from botocore.config import Config
+                kw["config"] = Config(s3={"addressing_style": "path"})
+            client = boto3.client("s3", **kw)
         self.bucket = bucket
         self.c = client
 
@@ -132,24 +186,44 @@ class S3Client:
     def _code(e) -> str:
         return getattr(e, "response", {}).get("Error", {}).get("Code", "")
 
+    # conditional-PUT retry schedule under 409 contention: bounded
+    # exponential backoff, ~1.5 s worst case before giving up
+    _RETRIES_409 = 5
+    _BACKOFF_409 = 0.05
+
     def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
         kwargs = {"Bucket": self.bucket, "Key": key, "Body": data}
         if if_none_match:
             kwargs["IfNoneMatch"] = "*"
-        try:
-            self.c.put_object(**kwargs)
-        except Exception as e:
-            # 412 PreconditionFailed = the key exists; 409
-            # ConditionalRequestConflict = another conditional PUT to
-            # the same key is in flight (AWS returns it under exactly
-            # the contention this protocol exists for) — both mean
-            # "you lost", which commit() handles by rebasing
-            if self._code(e) in ("PreconditionFailed", "412",
-                                 "ConditionalRequestConflict", "409") or (
-                    if_none_match and ("PreconditionFailed" in str(e)
-                                       or "ConditionalRequestConflict" in str(e))):
-                raise PreconditionFailed(key) from e
-            raise
+        for attempt in range(self._RETRIES_409 + 1):
+            try:
+                self.c.put_object(**kwargs)
+                return
+            except Exception as e:
+                code, msg = self._code(e), str(e)
+                # 412 PreconditionFailed = the key exists: a genuine
+                # lost race, which commit() handles by rebasing
+                if if_none_match and (
+                        code in ("PreconditionFailed", "412")
+                        or "PreconditionFailed" in msg):
+                    raise PreconditionFailed(key) from e
+                # 409 ConditionalRequestConflict = another conditional
+                # PUT to the same key is merely IN FLIGHT — it may yet
+                # fail, so declaring a lost race here would make
+                # commit() read back an absent key and wrongly conclude
+                # the manifest is torn. Retry the PUT (bounded backoff);
+                # report a lost race only once the key actually exists.
+                if if_none_match and (
+                        code in ("ConditionalRequestConflict", "409")
+                        or "ConditionalRequestConflict" in msg):
+                    if attempt < self._RETRIES_409:
+                        time.sleep(self._BACKOFF_409 * (1 << attempt))
+                        continue
+                    if self.head(key) is not None:
+                        raise PreconditionFailed(key) from e
+                    raise  # persistent contention, key still absent:
+                    # surface the transient 409 for the caller to retry
+                raise
 
     def get(self, key: str) -> bytes:
         try:

@@ -1,0 +1,216 @@
+"""Sequence packing: variable-length documents -> fixed-length training
+sequences (VERDICT r4 next #1 — the last mile between the token table
+and a dataloader).
+
+Semantics: documents are concatenated in ascending ``doc_id`` order into
+one logical token stream, which is sliced at fixed ``seq_len``
+boundaries. Sequence ``s`` holds stream positions [s*L, (s+1)*L); the
+tail sequence may be shorter (no padding is invented — a dataloader pads
+or drops the tail with its own policy). Per-sequence LINEAGE records
+which document supplied which span — (seq_id, doc_id, seq_start,
+doc_start, length) — exactly what attention-masking between packed
+documents needs. This is record shredding/reassembly (reference ops
+#17/#18, /root/reference/src/Parquet/Reader.hs:461-537) applied at the
+sequence level: documents are shredded across sequence boundaries, and
+the lineage rows are the rep/def levels of the packed layout.
+
+Scale design (100 TB):
+- The global document offset is a distributed prefix sum, NOT a global
+  window. ``Window.orderBy(doc_id)`` without a partitionBy collapses the
+  whole table into one task; instead rows get a DETERMINISTIC
+  order-preserving partition id (explicit bounds from a seedless
+  hash-sample — Spark's own RangePartitioner re-samples per action and
+  would let the two passes disagree), cumsum runs WITHIN each partition
+  (per-partition window), and each partition's base offset is added —
+  per-partition totals are one O(partitions) driver-side list, joined
+  back via broadcast. Classic two-phase scan.
+- The span explode emits ceil(n_tok / L) + 1 rows per doc (one per
+  touched sequence) — JVM-side `sequence()` + `explode`, no Python.
+- Sequence assembly shuffles (seq_id, token-slice) pairs keyed by
+  seq_id: each reducer sees only its sequences' pieces; pieces carry at
+  most L tokens per output sequence, so reducers are bounded regardless
+  of document skew (a 10^8-token document contributes 1-token-to-L
+  slices to many DIFFERENT sequence keys, never one hot key).
+- ``tokens`` stays array<int> through built-in slice/flatten — no
+  Python UDF anywhere in the hot path.
+
+Determinism: the packing is a pure function of the (doc_id-sorted)
+document set and L. ``doc_id`` must be a unique key (the token-table
+contract everywhere else in this engine tolerates duplicates, but a
+duplicated sort key would make concat order — and thus every sequence —
+ill-defined); ``pack_sequences`` verifies this cheaply via the same
+per-partition pass when ``check_unique`` is on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _range_pid_expr(df: DataFrame, n_partitions: int,
+                    sample_mod: int = 4096):
+    """A DETERMINISTIC order-preserving partition id for doc_id.
+
+    Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+    RangePartitioner re-SAMPLES its bounds per physical plan (the seed
+    involves the fresh RDD id), so two actions over the same logical
+    plan can place a row in different partitions — the per-partition
+    totals job and the cumsum job would silently disagree and corrupt
+    every offset downstream. Instead: one deterministic hash-sample of
+    doc_ids (xxhash64 % sample_mod == 0 — no RNG, no seed, same rows
+    every run), sorted on the driver and strided into at most
+    n_partitions-1 explicit bounds; the pid is then a pure row-local
+    expression (count of bounds <= doc_id), identical in every job that
+    evaluates it. O(bounds) string compares per row, JVM-side."""
+    if n_partitions <= 1:
+        return F.lit(0)
+    ids = sorted(set(
+        r[0] for r in df.select("doc_id")
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .collect()))
+    if len(ids) > n_partitions - 1:
+        stride = len(ids) / n_partitions
+        picked = []
+        for i in range(n_partitions - 1):
+            b = ids[min(int((i + 1) * stride), len(ids) - 1)]
+            if not picked or b != picked[-1]:
+                picked.append(b)
+        ids = picked
+    if not ids:
+        return F.lit(0)
+    return F.size(F.filter(F.lit(ids), lambda b: b <= F.col("doc_id")))
+
+
+def doc_offsets(df: DataFrame, n_partitions: int | None = None,
+                check_unique: bool = False,
+                sample_mod: int = 4096) -> DataFrame:
+    """``df`` (doc_id, n_tok, ...) + column ``g_start`` = exclusive
+    prefix sum of n_tok in ascending doc_id order. Distributed scan:
+    assign each row a deterministic order-preserving partition id
+    (``_range_pid_expr``), cumsum WITHIN each pid (per-partition
+    window), and add the pid's base offset — per-pid totals are one
+    O(partitions) driver-side list, joined back via broadcast. Both
+    passes evaluate the SAME pure pid expression, so they cannot
+    disagree (see _range_pid_expr for why spark_partition_id() after a
+    range shuffle is not safe here).
+
+    ``check_unique`` piggybacks a duplicate-key assertion on the same
+    per-partition sort (the pid expression co-locates equal keys, so
+    adjacency within a partition is a complete check): zero extra
+    jobs, raising from whatever action consumes the plan."""
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = max(df.rdd.getNumPartitions(),
+                           spark.sparkContext.defaultParallelism)
+    part = df.withColumn(
+        "_pid", _range_pid_expr(df, n_partitions, sample_mod))
+    totals = (part.groupBy("_pid").agg(F.sum("n_tok").alias("_tot"))
+              .orderBy("_pid").collect())
+    base, acc = {}, 0
+    for r in totals:  # pid ascends with doc_id range: prefix in pid order
+        base[r["_pid"]] = acc
+        acc += r["_tot"]
+    base_df = spark.createDataFrame(
+        [(p, b) for p, b in base.items()], "_pid int, _base bigint")
+    w = (Window.partitionBy("_pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    g = F.col("_base") + F.sum("n_tok").over(w) - F.col("n_tok")
+    if check_unique:
+        prev = F.lag("doc_id").over(Window.partitionBy("_pid").orderBy("doc_id"))
+        guard = F.assert_true(
+            prev.isNull() | (prev != F.col("doc_id")),
+            F.concat(F.lit("pack_sequences requires unique doc_id; "
+                           "duplicate: "), F.col("doc_id")))
+        g = g + F.coalesce(guard.cast("bigint"), F.lit(0))  # guard is NULL
+    return (part.join(F.broadcast(base_df), "_pid")
+            .withColumn("g_start", g)
+            .drop("_pid", "_base"))
+
+
+def pack_lineage(df: DataFrame, seq_len: int,
+                 n_partitions: int | None = None,
+                 check_unique: bool = True) -> DataFrame:
+    """Doc-span lineage of the packing: one row per (sequence, document)
+    intersection — (seq_id, doc_id, seq_start, doc_start, length).
+    ``seq_start`` is the span's position inside the sequence,
+    ``doc_start`` its position inside the document. Empty documents
+    (n_tok = 0) occupy no stream positions and appear in no sequence."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    L = F.lit(seq_len).cast("bigint")
+    off = doc_offsets(df.select("doc_id", "n_tok"), n_partitions,
+                      check_unique=check_unique)
+    spans = (off.filter(F.col("n_tok") > 0)
+             .withColumn("seq_id", F.explode(F.sequence(
+                 (F.col("g_start") / L).cast("bigint"),
+                 ((F.col("g_start") + F.col("n_tok") - 1) / L).cast("bigint")))))
+    lo = F.greatest(F.col("seq_id") * L, F.col("g_start"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("g_start") + F.col("n_tok"))
+    return spans.select(
+        "seq_id", "doc_id",
+        (lo - F.col("seq_id") * L).cast("int").alias("seq_start"),
+        (lo - F.col("g_start")).cast("int").alias("doc_start"),
+        (hi - lo).cast("int").alias("length"))
+
+
+def pack_sequences(df: DataFrame, seq_len: int,
+                   n_partitions: int | None = None,
+                   check_unique: bool = True,
+                   lineage: DataFrame | None = None) -> DataFrame:
+    """Pack ``df`` (doc_id, tokens array<int>, n_tok) into fixed-length
+    sequences: (seq_id bigint, tokens array<int>, n_tok int). Every
+    sequence has exactly ``seq_len`` tokens except the final tail.
+
+    Assembly: lineage spans join back to their documents (shuffle keyed
+    by doc_id on one side, then by seq_id), each span slices its piece
+    of the document JVM-side, and a per-sequence sort_array over
+    (seq_start, piece) structs + flatten rebuilds the stream order —
+    collect_list never exceeds seq_len tokens per group.
+
+    Pass a precomputed (ideally cached) ``lineage`` to share its
+    prefix-sum pass with other consumers (encode_packed does)."""
+    lin = (pack_lineage(df, seq_len, n_partitions, check_unique)
+           if lineage is None else lineage)
+    pieces = (lin.join(df.select("doc_id", "tokens"), "doc_id")
+              .select("seq_id", "seq_start",
+                      F.slice("tokens", F.col("doc_start") + 1,
+                              F.col("length")).alias("piece")))
+    assembled = (pieces.groupBy("seq_id")
+                 .agg(F.flatten(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("seq_start", "piece"))),
+                     lambda s: s["piece"])).alias("tokens")))
+    return assembled.select(
+        "seq_id", "tokens", F.size("tokens").cast("int").alias("n_tok"))
+
+
+def encode_packed(spark: SparkSession, df: DataFrame, root: str,
+                  seq_len: int, **encode_kw) -> DataFrame:
+    """Pack ``df`` and COMMIT the result as a page-format snapshot table
+    at ``root`` (sequences become rows of the standard token table:
+    doc_id = 's%012d' of seq_id, source = 'packed:<L>'), with the
+    lineage written as parquet under ``root``/lineage and its path
+    recorded in the commit metrics. Returns the pages DataFrame.
+
+    The packed table round-trips through the ordinary decode() path —
+    it IS a token table, so pruning/projection/audit/incremental reads
+    all apply to training sequences for free."""
+    from tokencodec.spark import encode_job
+
+    lin = pack_lineage(df, seq_len).cache()  # one prefix-sum, two consumers
+    packed = (pack_sequences(df, seq_len, lineage=lin)
+              .select(F.format_string("s%012d", "seq_id").alias("doc_id"),
+                      "tokens", "n_tok",
+                      F.lit(f"packed:{seq_len}").alias("source")))
+    lineage_path = root.rstrip("/") + "/lineage"
+    (lin.repartition("seq_id")
+     .write.mode("overwrite").parquet(lineage_path))
+    extra = dict(encode_kw.pop("extra_metrics", {}) or {})
+    extra.update({"op": "pack", "seq_len": seq_len,
+                  "lineage_path": lineage_path})
+    try:
+        return encode_job.encode(spark, packed, root, extra_metrics=extra,
+                                 **encode_kw)
+    finally:
+        lin.unpersist()
