@@ -652,6 +652,63 @@ ORDER BY doc_id
 """
 
 
+def _del_root(spark: SparkSession, sf_dir: str) -> str:
+    """A docs-derived root with a committed takedown: every doc whose
+    number ends in 3 is equality-deleted (round-5 row-level deletes)."""
+    from tokencodec.spark import encode_job, maintenance
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/docsdel_v1_n{n}"
+    if root not in _ENGINE_CACHE:
+        encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                          commit_groups=1, max_chunk_tokens=64,
+                          direct_write=True)
+        ids = (_docs_token_df(spark, sf_dir)
+               .filter(F.substring("doc_id", 2, 18).cast("bigint") % 10 == 3)
+               .select("doc_id"))
+        maintenance.delete_docs(spark, root, ids)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_decode_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level takedown under the oracle (VERDICT r4 next #3): decode
+    after an equality-delete commit (stage 'logical' — deletes merged at
+    read) and again after purge_deletes physically rewrites the affected
+    files (stage 'purged') must BOTH equal DuckDB's filtered recompute —
+    deleted rows absent, every other row bit-identical through the
+    md5-of-token-stream check."""
+    from tokencodec.spark import decode_job, maintenance
+    root = _del_root(spark, sf_dir)
+
+    def view(stage: str) -> DataFrame:
+        out = decode_job.decode(spark, root)
+        return out.select(
+            F.lit(stage).alias("stage"), "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"), "source",
+            F.aggregate("tokens", F.lit(0).cast("bigint"),
+                        lambda a, x: a + x).alias("tok_sum"),
+            F.md5(F.concat_ws(",", F.transform(
+                "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+    logical = view("logical")  # plan pins pre-purge paths (still on disk)
+    maintenance.purge_deletes(spark, root)
+    return logical.unionByName(view("purged")).orderBy("stage", "doc_id")
+
+
+SQL_ENGINE_DECODE_AFTER_DELETE = f"""
+WITH t AS ({_SQL_DOCS_TOKENS}),
+v AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+         CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+         md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+  FROM t WHERE CAST(substring(doc_id, 2) AS BIGINT) % 10 != 3)
+SELECT 'logical' AS stage, * FROM v
+UNION ALL
+SELECT 'purged' AS stage, * FROM v
+ORDER BY stage, doc_id
+"""
+
+
 _PACK_L = 128  # small on purpose: docs avg ~60 tokens, so most
 # sequences contain several docs AND several docs span boundaries
 
@@ -1569,6 +1626,67 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_DECON_N = 13  # n-gram width of the eval-overlap check
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (VERDICT r4 next #2): report corpus
+    documents sharing any 13-gram with a held-out eval set (here the
+    deterministic doc_id % 7 == 0 slice stands in for the benchmark),
+    with the contaminated span per document.
+
+    Scale shape: eval benchmarks are small (10^3-10^5 docs), so their
+    distinct gram hashes BROADCAST to every executor — corpus grams are
+    built array-natively per row (transform over sequence + slice, no
+    word ever leaves its document row), then posexploded and matched by
+    broadcast hash join: zero shuffle of corpus data until the tiny
+    per-doc aggregate. Gram md5s (16 bytes) travel instead of raw
+    13-word strings."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_grams = F.size(words) - (_DECON_N - 1)
+    # total expression: sequence(1, n) with n <= 0 DESCENDS into slice(0)
+    # errors, and the row filter below does not protect the projection
+    # against optimizer reordering — guard per row instead
+    grams = F.when(n_grams >= 1, F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, _DECON_N))))
+    ).otherwise(F.array().cast("array<string>"))
+    g = (d.filter(F.size(words) >= _DECON_N)
+         .select("doc_id", n_grams.alias("n_grams"), grams.alias("grams")))
+    eval_grams = (g.filter(F.col("doc_id") % 7 == 0)
+                  .select(F.explode("grams").alias("gram")).distinct())
+    corpus = (g.filter(F.col("doc_id") % 7 != 0)
+              .select("doc_id", "n_grams",
+                      F.posexplode("grams").alias("pos", "gram")))
+    hits = corpus.join(F.broadcast(eval_grams), "gram")
+    return (hits.groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_contam"),
+                 F.min("pos").alias("span_lo"),
+                 (F.max("pos") + (_DECON_N - 1)).alias("span_hi"))
+            .select("doc_id", F.col("n_grams").cast("bigint").alias("n_grams"),
+                    "n_contam", "span_lo", "span_hi")
+            .orderBy("doc_id"))
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+eg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+{_DECON_N - 1}],' ')) AS gram
+       FROM w, unnest(generate_series(1, CAST(len(ws)-{_DECON_N - 1} AS BIGINT))) AS u(i)
+       WHERE doc_id % 7 = 0 AND len(ws) >= {_DECON_N}),
+cg AS (SELECT doc_id, len(ws) - {_DECON_N - 1} AS n_grams, i - 1 AS pos,
+              md5(array_to_string(ws[i:i+{_DECON_N - 1}],' ')) AS gram
+       FROM w, unnest(generate_series(1, CAST(len(ws)-{_DECON_N - 1} AS BIGINT))) AS u(i)
+       WHERE doc_id % 7 != 0 AND len(ws) >= {_DECON_N})
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_contam,
+       CAST(min(pos) AS INTEGER) AS span_lo,
+       CAST(max(pos) + {_DECON_N - 1} AS INTEGER) AS span_hi
+FROM cg JOIN eg USING (gram)
+GROUP BY doc_id, n_grams ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -2017,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_incremental_changes": q_engine_incremental_changes,
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
+        "engine_decode_after_delete": q_engine_decode_after_delete,
         "engine_fsck": q_engine_fsck,
         "schema_flatten": q_schema_flatten,
         "json_sink_roundtrip": q_json_sink_roundtrip,
@@ -2041,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_decontaminate": q_text_decontaminate,
         "knn_cosine": q_knn_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2087,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "knn_cosine": SQL_KNN_COSINE,
         "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
@@ -2100,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,
+        "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,
         "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
         "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
         # EVERY queries() entry is oracle-verified (round 4 closed the

@@ -82,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
                       help="file-granular mode: only committed files below "
                            "this size are read and rewritten")
 
+    dele = sub.add_parser(
+        "delete",
+        help="row-level takedown: commit an equality-delete manifest of "
+             "doc_ids (applied at read; 'purge'/'compact' rewrite them away)")
+    dele.add_argument("root")
+    dele.add_argument("doc_ids", help="comma-separated doc_ids, or @file "
+                                      "with one id per line")
+
+    prg = sub.add_parser(
+        "purge",
+        help="physically rewrite files to drop rows covered by committed "
+             "delete manifests")
+    prg.add_argument("root")
+
     orph = sub.add_parser(
         "remove-orphans",
         help="delete run dirs referenced by no snapshot (crashed-job debris)")
@@ -220,6 +234,21 @@ def main(argv: list[str] | None = None) -> int:
                 strict=args.strict)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        elif args.cmd == "delete":
+            from tokencodec.spark import maintenance
+            if args.doc_ids.startswith("@"):
+                with open(args.doc_ids[1:]) as f:
+                    ids = [line.strip() for line in f if line.strip()]
+            else:
+                ids = [d for d in args.doc_ids.split(",") if d]
+            snap = maintenance.delete_docs(spark, args.root, ids)
+            print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                              "metrics": snap.get("metrics", {})}))
+        elif args.cmd == "purge":
+            from tokencodec.spark import maintenance
+            snap = maintenance.purge_deletes(spark, args.root)
+            print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                              "metrics": snap.get("metrics", {})}))
         elif args.cmd == "compact":
             from tokencodec.spark import maintenance
             snap = maintenance.compact(spark, args.root,

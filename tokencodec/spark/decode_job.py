@@ -309,6 +309,25 @@ def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | No
             return None
 
 
+def _delete_ids(spark: SparkSession, root: str,
+                snapshot_id: int | None) -> DataFrame | None:
+    """Deleted doc_ids recorded by the target snapshot's DELETE
+    manifests (maintenance.delete_docs), or None when there are none.
+    Time travel honors history: a snapshot before the delete commit has
+    no del: groups and still shows the rows."""
+    from tokencodec.spark.table import SnapshotTable, is_delete_group
+    tbl = SnapshotTable(root)
+    snap = (tbl.current_snapshot() if snapshot_id is None
+            else tbl.snapshot(snapshot_id))
+    if snap is None:
+        return None
+    paths = [p for k, ps in snap["groups"].items()
+             if is_delete_group(k) for p in ps]
+    if not paths:
+        return None
+    return spark.read.schema("doc_id string").parquet(*paths).distinct()
+
+
 def decode(spark: SparkSession, root: str,
            doc_id_min: str | None = None, doc_id_max: str | None = None,
            buckets: list[int] | None = None, packed: bool = False,
@@ -348,7 +367,14 @@ def decode(spark: SparkSession, root: str,
         cols = cols + ["source"]
     if (n_tok_min is not None or n_tok_max is not None) and "n_tok" not in cols:
         cols = cols + ["n_tok"]
+    # row-level deletes (equality-delete manifests): applied as a
+    # broadcast anti-join on doc_id after decode. Explicit-paths reads
+    # (decode_changes) are scoped by their caller and skip them — an
+    # incremental consumer sees appends only; delete commits are not a
+    # changelog event in this engine.
+    dels = None if paths is not None else _delete_ids(spark, root, snapshot_id)
     needs_doc = (doc_id_min is not None or doc_id_max is not None
+                 or dels is not None
                  or "tokens" in cols or "n_tok" in cols)
     if needs_doc and "doc_id" not in cols:
         cols = ["doc_id"] + cols
@@ -442,6 +468,10 @@ def decode(spark: SparkSession, root: str,
                     .sortWithinPartitions("sgrp", "doc_part")
                     .mapInArrow(sfn, _out_ddl(cols, packed)))
         out = whole.unionByName(stitched)
+    if dels is not None:
+        # takedown-sized sets by contract (maintenance.delete_docs):
+        # broadcast the ids, drop every copy and every split part
+        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
     if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
@@ -507,11 +537,14 @@ def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
             f"snapshot {since_snapshot_id} is not on the retained chain "
             f"{ids} (expired or never committed): incremental changes "
             "cannot be enumerated completely")
+    from tokencodec.spark.table import is_delete_group
     out: list[str] = []
     for s in chain[ids.index(since_snapshot_id) + 1:]:
-        if s.get("metrics", {}).get("op") == "compact":
+        if s.get("metrics", {}).get("op") in ("compact", "purge"):
             continue  # rewrite-files: no logical rows added
         for k in s.get("new_groups", []):
+            if is_delete_group(k):
+                continue  # delete manifests hold ids, not token rows
             out.extend(s["groups"].get(k, []))
     return out
 

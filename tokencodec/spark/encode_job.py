@@ -800,7 +800,9 @@ def read_pages(spark: SparkSession, root: str,
     snap = tbl.current_snapshot() if snapshot_id is None else tbl.snapshot(snapshot_id)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    paths = [p for ps in snap["groups"].values() for p in ps]
+    from tokencodec.spark.table import is_delete_group
+    paths = [p for k, ps in snap["groups"].items()
+             if not is_delete_group(k) for p in ps]
     if not paths:
         return spark.createDataFrame([], PAGES_DDL)
     # explicit schema (the union of every engine version's columns):

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from tokencodec import grouped, pageformat
 from tokencodec.spark import partition as part
 from tokencodec.spark.encode_job import PAGES_DDL, _encode_chunk, read_pages
-from tokencodec.spark.table import SnapshotTable
+from tokencodec.spark.table import SnapshotTable, is_delete_group
 
 _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
 
@@ -194,7 +194,12 @@ def compact(spark: SparkSession, root: str,
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    all_paths = [p for ps in snap["groups"].values() for p in ps]
+    if any(is_delete_group(k) and ps for k, ps in snap["groups"].items()):
+        # pending row-level deletes: purge them physically FIRST, so the
+        # rewrite below never re-compacts rows that are already dead
+        snap = purge_deletes(spark, root, parquet_codec=parquet_codec)
+    all_paths = [p for k, ps in snap["groups"].items()
+                 if not is_delete_group(k) for p in ps]
     if not all_paths:
         return snap
     file_mode = all(not tbl.fs.isdir(p) for p in all_paths)
@@ -388,11 +393,241 @@ def compact(spark: SparkSession, root: str,
     # chunk_uid prefix, not in which file holds the chunk)
     sel_set = set(selected)
     new_groups = {}
-    for i, k in enumerate(sorted(snap["groups"])):
+    attached = False
+    for k in sorted(snap["groups"]):
+        if is_delete_group(k):
+            new_groups[k] = list(snap["groups"][k])  # untouched here
+            continue
         survivors = [p for p in snap["groups"][k] if p not in sel_set]
-        new_groups[k] = (new_files if i == 0 else []) + survivors
+        new_groups[k] = ([] if attached else new_files) + survivors
+        attached = True
     if rgrps is not None:
         rgrps.unpersist()
+    return tbl.commit(new_groups, metrics=m, replace=True)
+
+
+def _norm_uri(p: str) -> str:
+    for pref in ("file://", "file:"):
+        if p.startswith(pref):
+            return p[len(pref):]
+    return p
+
+
+def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
+    """Row-level takedown (VERDICT r4 next #3 — Iceberg v2 equality
+    deletes): commit a DELETE manifest of doc_ids. No data file is
+    touched; decode() applies the deletes as a broadcast anti-join at
+    read time (all copies and all split parts of a listed doc_id
+    disappear), time travel before the delete still shows the rows, and
+    ``purge_deletes`` / ``compact`` later rewrite them away physically.
+
+    ``doc_ids`` is an iterable of ids or a single-column DataFrame.
+    Designed for takedown/PII-removal request sizes (the id set rides
+    in a broadcast at decode and in task closures at purge); bulk
+    filtering of a corpus belongs in an encode-time predicate, not
+    here."""
+    import uuid as _uuid
+
+    tbl = SnapshotTable(root)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("string").alias("doc_id"))
+    else:
+        df = spark.createDataFrame([(str(d),) for d in doc_ids],
+                                   "doc_id string")
+    df = df.distinct()
+    n_ids = df.count()
+    run_dir = tbl.new_run_dir()
+    df.write.mode("overwrite").parquet(run_dir)
+    files = sorted(posixpath.join(run_dir, n)
+                   for n in tbl.fs.listdir(run_dir) if n.endswith(".parquet"))
+    from tokencodec.spark.encode_job import next_chain_max, next_table_totals
+    m: dict = {"op": "delete", "n_delete_ids": int(n_ids)}
+    totals = next_table_totals(snap, {})
+    if totals is not None:
+        m["table_totals"] = totals  # logical deletes change no pages
+    cmax = next_chain_max(snap, 0)
+    if cmax is not None:
+        m["max_doc_parts_chain"] = cmax
+    return tbl.commit({f"del:{_uuid.uuid4().hex[:8]}": files}, metrics=m)
+
+
+def _purge_batches(ids: frozenset, uid_prefix: str):
+    """mapInArrow over FULL page rows of delete-affected files: rows
+    whose chunk holds no deleted doc pass through byte-identical; chunks
+    losing some docs are decoded, row-masked, and re-encoded; chunks
+    losing every doc (incl. split-part chunks, single-doc by
+    construction) are dropped."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tokencodec.spark.decode_job import _binary_views, _string_array
+        from tokencodec.spark.encode_job import _rows_to_batch
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            views = {c: _binary_views(batch.column(idx[c])) for c in _PAGE_COLS}
+            keep_mask = []
+            rows: list[dict] = []
+            for r in range(batch.num_rows):
+                off, data = views["page_doc_id"]
+                docs = _string_array(data[off[r]:off[r + 1]]).to_pylist()
+                dead = [d in ids for d in docs]
+                if not any(dead):
+                    keep_mask.append(True)
+                    continue
+                keep_mask.append(False)
+                if all(dead):
+                    continue  # whole chunk deleted
+                pages = {c: d[o[r]:o[r + 1]]
+                         for c, (o, d) in views.items()}
+                ntok = pageformat.decode_int_page(
+                    pages["page_n_tok"]).astype(np.int64)
+                toks = grouped.decode_tokens_column(pages["page_tokens"])
+                src = _string_array(pages["page_source"])
+                keep = np.array([not d for d in dead])
+                ends = np.cumsum(ntok)
+                starts = ends - ntok
+                tok_keep = (np.concatenate(
+                    [toks[s:e] for s, e, k in zip(starts, ends, keep) if k])
+                    if keep.any() else np.empty(0, toks.dtype))
+                kidx = pa.array(np.flatnonzero(keep))
+                row = _encode_chunk(
+                    batch.column(idx["bucket"])[r].as_py(),
+                    batch.column(idx["salt"])[r].as_py(),
+                    batch.column(idx["chunk_seq"])[r].as_py(),
+                    pa.array([d for d, k in zip(docs, keep) if k],
+                             pa.string()),
+                    tok_keep, ntok[keep],
+                    src.take(kidx).cast(pa.string()),
+                    uid_prefix=uid_prefix)
+                # chunk_seq repeats across commit groups: derive the new
+                # uid from the (table-unique) original instead
+                row["chunk_uid"] = (
+                    f"{uid_prefix}-{batch.column(idx['chunk_uid'])[r].as_py()}")
+                rows.append(row)
+            passthrough = batch.filter(pa.array(keep_mask))
+            if passthrough.num_rows:
+                yield passthrough
+            if rows:
+                yield _rows_to_batch(rows)
+
+    return fn
+
+
+def purge_deletes(spark: SparkSession, root: str,
+                  parquet_codec: str = "zstd") -> dict:
+    """Physically remove rows covered by committed DELETE manifests
+    (Iceberg's rewrite-data-files over position/equality deletes):
+    ONLY files whose chunk doc_id ranges overlap a deleted id are read
+    and rewritten (metadata-scan file selection), the delete groups are
+    replace-committed to empty, and the superseded files age out with
+    snapshot expiry. Returns the new snapshot (or the current one when
+    there is nothing to purge)."""
+    tbl = SnapshotTable(root)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    del_paths = [p for k, ps in snap["groups"].items()
+                 if is_delete_group(k) for p in ps]
+    if not del_paths:
+        return snap
+    ids = frozenset(
+        r[0] for r in spark.read.schema("doc_id string")
+        .parquet(*del_paths).distinct().collect())
+    data_paths = [p for k, ps in snap["groups"].items()
+                  if not is_delete_group(k) for p in ps]
+    uid_prefix = f"prg{snap['snapshot_id'] + 1}"
+    new_files: list[str] = []
+    selected: list[str] = []
+    n_purged_rows = 0
+    if data_paths and ids:
+        file_mode = all(not tbl.fs.isdir(p) for p in data_paths)
+        if file_mode:
+            idf = spark.createDataFrame([(i,) for i in sorted(ids)],
+                                        "did string")
+            meta = (spark.read.schema(PAGES_DDL).parquet(*data_paths)
+                    .select(F.input_file_name().alias("fname"),
+                            "doc_id_min", "doc_id_max"))
+            hit = (meta.join(F.broadcast(idf),
+                             (F.col("did") >= F.col("doc_id_min"))
+                             & (F.col("did") <= F.col("doc_id_max")))
+                   .select("fname"))
+            # NULL stats (legacy files) cannot be range-pruned: rewrite
+            unknown = (meta.filter(F.col("doc_id_min").isNull()
+                                   | F.col("doc_id_max").isNull())
+                       .select("fname"))
+            fnames = [r[0] for r in hit.union(unknown).distinct().collect()]
+            committed = {_norm_uri(p): p for p in data_paths}
+            unmapped = [f for f in fnames if _norm_uri(f) not in committed]
+            if unmapped:
+                raise RuntimeError(
+                    "purge_deletes: cannot map scan URI(s) back to "
+                    f"committed paths: {unmapped[:3]}")
+            selected = sorted(committed[_norm_uri(f)] for f in fnames)
+        else:
+            selected = list(data_paths)
+        if selected:
+            from tokencodec.spark.encode_job import _PAGES_TYPES
+            pages = (spark.read.schema(PAGES_DDL).parquet(*selected)
+                     .select(*_PAGES_TYPES))
+            out = pages.mapInArrow(_purge_batches(ids, uid_prefix),
+                                   PAGES_DDL)
+            from pyspark.sql import Observation
+            obs = Observation()
+            out = out.observe(obs, F.sum("n_rows").alias("rows_after"))
+            run_dir = tbl.new_run_dir()
+            (out.write.mode("overwrite")
+             .option("compression", parquet_codec).parquet(run_dir))
+            rows_after = int(obs.get["rows_after"] or 0)
+            rows_before = int(
+                spark.read.schema(PAGES_DDL).parquet(*selected)
+                .agg(F.sum("n_rows")).collect()[0][0] or 0)
+            n_purged_rows = rows_before - rows_after
+            new_files = sorted(
+                posixpath.join(run_dir, n) for n in tbl.fs.listdir(run_dir)
+                if n.endswith(".parquet"))
+            if not new_files:
+                tbl.fs.delete(run_dir, recursive=True)
+    # post-purge table totals from the surviving layout (metadata cols)
+    sel_set = set(selected)
+    kept = [p for p in data_paths if p not in sel_set] + new_files
+    if kept:
+        tot = (spark.read.schema(PAGES_DDL).parquet(*kept)
+               .na.fill({"doc_parts": 1})
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("enc_bytes").alias("enc_bytes"),
+                    F.max("doc_parts").alias("max_doc_parts"))
+               .collect()[0].asDict())
+        tot = {k: int(v or 0) for k, v in tot.items()}
+    else:
+        tot = {"n_chunks": 0, "n_rows": 0, "n_tokens": 0, "enc_bytes": 0,
+               "max_doc_parts": 0}
+    from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
+    mdp = _max_doc_parts_from_manifest(root, None)
+    if mdp is not None:
+        tot["max_doc_parts"] = max(tot["max_doc_parts"], int(mdp))
+    m = {**tot, "op": "purge", "n_delete_ids": len(ids),
+         "n_purged_rows": int(n_purged_rows),
+         "rewritten_files": len(selected)}
+    m["table_totals"] = {k: m[k] for k in
+                         ("n_chunks", "n_rows", "n_tokens", "enc_bytes")}
+    m["max_doc_parts_chain"] = m["max_doc_parts"]
+    new_groups: dict[str, list[str]] = {}
+    attached = False
+    for k in sorted(snap["groups"]):
+        if is_delete_group(k):
+            new_groups[k] = []  # applied physically: nothing left to mask
+            continue
+        survivors = [p for p in snap["groups"][k] if p not in sel_set]
+        new_groups[k] = ([] if attached else new_files) + survivors
+        attached = True
     return tbl.commit(new_groups, metrics=m, replace=True)
 
 

@@ -61,6 +61,16 @@ import uuid
 
 from tokencodec.spark.fsio import fs_for
 
+# group keys carrying row-level DELETE manifests (parquet files of
+# deleted doc_ids) instead of page data — Iceberg v2 equality deletes.
+# Readers of page data must skip them; decode applies them as an
+# anti-join; purge_deletes rewrites them away physically.
+DELETE_GROUP_PREFIX = "del:"
+
+
+def is_delete_group(key: str) -> bool:
+    return key.startswith(DELETE_GROUP_PREFIX)
+
 
 class SnapshotTable:
     def __init__(self, root: str, fs=None, allow_unsafe: bool | None = None):
