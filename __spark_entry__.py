@@ -709,6 +709,63 @@ ORDER BY stage, doc_id
 """
 
 
+def _evo_root(spark: SparkSession, sf_dir: str) -> str:
+    """A docs-derived root whose chunks span THREE schema versions
+    (round-5 schema evolution): commit 1 has no extra columns, commit 2
+    adds (lang string, score int), commit 3 widens score to bigint with
+    values beyond int32."""
+    from tokencodec.spark import encode_job
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/docsevo_v1_n{n}"
+    if root not in _ENGINE_CACHE:
+        t = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 18).cast("bigint")
+        lang = F.concat(F.lit("L"), (num % 7).cast("string"))
+        kw = dict(commit_groups=1, max_chunk_tokens=64, direct_write=True)
+        encode_job.encode(spark, t.filter(num % 3 == 0), root, **kw)
+        encode_job.encode(
+            spark, (t.filter(num % 3 == 1).withColumn("lang", lang)
+                    .withColumn("score", (num * 3).cast("int"))),
+            root, group_prefix="v2g", **kw)
+        encode_job.encode(
+            spark, (t.filter(num % 3 == 2).withColumn("lang", lang)
+                    .withColumn("score", num * 3 + F.lit(1 << 33))),
+            root, group_prefix="v3g", **kw)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema-version decode under the oracle: one read over
+    chunks written before a column existed (NULL back-fill), after it
+    was added as int, and after it widened to bigint — DuckDB recomputes
+    every value (and every NULL) from `documents` directly, and the
+    token md5 proves the core columns stayed bit-exact through the
+    extra-page plumbing."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _evo_root(spark, sf_dir))
+    return (out.select(
+        "doc_id", F.col("n_tok").cast("bigint").alias("n_tok"), "source",
+        "lang", "score",
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_SCHEMA_EVOLUTION = f"""
+WITH t AS ({_SQL_DOCS_TOKENS}),
+v AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, toks,
+             CAST(substring(doc_id, 2) AS BIGINT) AS num FROM t)
+SELECT doc_id, n_tok, source,
+       CASE WHEN num % 3 = 0 THEN NULL
+            ELSE 'L' || CAST(num % 7 AS VARCHAR) END AS lang,
+       CASE WHEN num % 3 = 1 THEN num * 3
+            WHEN num % 3 = 2 THEN num * 3 + 8589934592 END AS score,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM v ORDER BY doc_id
+"""
+
+
 _PACK_L = 128  # small on purpose: docs avg ~60 tokens, so most
 # sequences contain several docs AND several docs span boundaries
 
@@ -1871,6 +1928,14 @@ FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _ivf_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings shared by the IVF queries (integer-exact)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding",
+                     lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
+    return e.select("vec_id", "label", qv.alias("q"))
+
+
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF SEARCH (the scale path brute-force cosine cannot walk): for
     each query vector, probe the nprobe=2 nearest inverted lists and
@@ -1884,10 +1949,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no window); candidate selection is a broadcast join on the probed
     list id; only the final per-query top-k uses a window, partitioned
     by query id."""
-    e = _t(spark, sf_dir, "embeddings")
-    qv = F.transform("embedding",
-                     lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
-    eq = e.select("vec_id", "label", qv.alias("q"))
+    eq = _ivf_eq(spark, sf_dir)
     cent = eq.groupBy("label").agg(
         F.count("*").alias("cnt"),
         F.array(*[F.sum(F.col("q")[i]) for i in range(64)]).alias("sq"))
@@ -1949,8 +2011,38 @@ cq AS (
   FROM cent)
 """
 
-SQL_IVF_SEARCH = """
-WITH """ + _SQL_IVF_COMMON + """,
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality gate (VERDICT r4 next #6): recall@3 of IVF search
+    against the brute-force exact top-3 per query. Both sides are
+    integer-exact (quantized embeddings, bigint distances), so recall
+    is a deterministic number DuckDB restates — future ANN changes get
+    a QUALITY gate, not just a correctness gate.
+
+    Scale shape: the brute side exists only for the (tiny, broadcast)
+    query subset — Q x N candidate rows, windowed per query; the IVF
+    side is the probe-and-rerank plan of q_ivf_search."""
+    ivf = (q_ivf_search(spark, sf_dir)
+           .select("qid", "cand_id").withColumn("hit", F.lit(1)))
+    eq = _ivf_eq(spark, sf_dir)
+    queries = (eq.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq")))
+    d2 = F.aggregate(F.zip_with("qq", "q", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    brute = (eq.select("vec_id", "q").crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("qid"))
+             .select("qid", "vec_id", d2.alias("d2"))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= 3)
+             .select("qid", F.col("vec_id").alias("cand_id")))
+    return (brute.join(ivf, ["qid", "cand_id"], "left")
+            .groupBy("qid")
+            .agg(F.count("hit").alias("n_hits"),
+                 F.round(F.count("hit") / F.lit(3.0), 6).alias("recall"))
+            .orderBy("qid"))
+
+
+_SQL_IVF_SEARCH_CTES = """
 assign AS (
   SELECT vec_id, clabel AS assigned FROM (
     SELECT vec_id, clabel,
@@ -1978,9 +2070,28 @@ ranked AS (
   JOIN assign a ON a.assigned = p.probe
   JOIN q ON q.vec_id = a.vec_id
   WHERE q.vec_id <> p.qid)
+"""
+
+SQL_IVF_SEARCH = ("WITH " + _SQL_IVF_COMMON + "," + _SQL_IVF_SEARCH_CTES + """
 SELECT qid, CAST(rank AS INTEGER) AS rank, cand_id, d2
 FROM ranked WHERE rank <= 3 ORDER BY qid, rank
-"""
+""")
+
+SQL_IVF_RECALL = ("WITH " + _SQL_IVF_COMMON + "," + _SQL_IVF_SEARCH_CTES + """,
+ivf AS (SELECT qid, cand_id FROM ranked WHERE rank <= 3),
+brute AS (
+  SELECT qid, cand_id FROM (
+    SELECT p.qid, q.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY
+             CAST(list_sum(list_transform(p.qq, (x, i) -> (x - q.q[i]) * (x - q.q[i])))
+                  AS BIGINT), q.vec_id) AS rnk
+    FROM queries p JOIN q ON q.vec_id <> p.qid)
+  WHERE rnk <= 3)
+SELECT b.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hits,
+       round(count(i.cand_id) / 3.0, 6) AS recall
+FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cand_id = b.cand_id
+GROUP BY b.qid ORDER BY b.qid
+""")
 
 
 # --------------------------------------------------------------------------
@@ -2136,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
         "engine_decode_after_delete": q_engine_decode_after_delete,
+        "engine_schema_evolution": q_engine_schema_evolution,
         "engine_fsck": q_engine_fsck,
         "schema_flatten": q_schema_flatten,
         "json_sink_roundtrip": q_json_sink_roundtrip,
@@ -2166,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ivf_assign": q_ivf_assign,
         "ivf_search": q_ivf_search,
+        "ivf_recall": q_ivf_recall,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_embed_norm": q_mm_embed_norm,
         "mm_frame_sample": q_mm_frame_sample,
@@ -2213,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_search": SQL_IVF_SEARCH,
+        "ivf_recall": SQL_IVF_RECALL,
         "mm_decode_meta": SQL_MM_DECODE_META,
         "mm_embed_norm": SQL_MM_EMBED_NORM,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
@@ -2222,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,
         "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,
+        "engine_schema_evolution": SQL_ENGINE_SCHEMA_EVOLUTION,
         "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
         "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
         # EVERY queries() entry is oracle-verified (round 4 closed the

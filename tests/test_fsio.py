@@ -94,11 +94,12 @@ def test_fs_for_refuses_unsafe_schemes_without_native_client():
     """Stores without an atomic create-exclusive through Hadoop and
     without a native conditional-put client are refused for manifest IO
     unless the caller opts into single-writer mode. (s3 schemes resolve
-    to the native ObjectStoreFS instead — tests/test_objectstore.py.)"""
-    with pytest.raises(ValueError, match="create-exclusive"):
-        fs_for("gs://bucket/table")
+    to the native ObjectStoreFS, and gs:// to the native GCS JSON-API
+    client since round 5 — tests/test_objectstore.py.)"""
     with pytest.raises(ValueError, match="create-exclusive"):
         fs_for("wasb://bucket/table")
+    with pytest.raises(ValueError, match="create-exclusive"):
+        fs_for("oss://bucket/table")
 
 
 def test_encode_from_parquet_file_uri_byte_identical(spark, tmp_path):

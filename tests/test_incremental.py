@@ -77,3 +77,72 @@ def test_changes_since_expired_snapshot_refuses(spark, tmp_path):
         decode_job.decode_changes(spark, root, first)
     with pytest.raises(ValueError, match="retained chain"):
         decode_job.decode_changes(spark, root, 999)
+
+
+def test_consumer_cursor_full_lifecycle(spark, tmp_path):
+    """VERDICT r4 next #7: a consumer cursor driven through the whole
+    table lifecycle — append, consume, compact, expire, append, consume
+    — must see every row EXACTLY once (no row twice, none missed), and
+    a cursor that falls below the retained chain must refuse rather
+    than silently under-deliver."""
+    root = str(tmp_path / "t")
+    batches = [synth.token_table(spark, n, seed=s).withColumn(
+        "doc_id", F.concat(F.lit(f"b{i}-"), "doc_id"))
+        for i, (n, s) in enumerate([(100, 21), (80, 22), (60, 23)])]
+
+    def cur_sid():
+        return SnapshotTable(root).current_snapshot()["snapshot_id"]
+
+    seen = []  # every doc_id delivered to the consumer, in order
+
+    def consume(since):
+        # exactly-once protocol: read the new cursor FIRST, bound the
+        # scan with it (README "Incremental consumer recipe")
+        until = cur_sid()
+        rows = decode_job.decode_changes(
+            spark, root, since, columns=["doc_id"],
+            until_snapshot_id=until).collect()
+        seen.extend(r[0] for r in rows)
+        return until
+
+    # bootstrap: first batch + initial full read
+    encode_job.encode(spark, batches[0], root, commit_groups=1, n_salts=4,
+                      direct_write=True, max_chunk_tokens=512)
+    cursor = cur_sid()
+    seen.extend(r[0] for r in decode_job.decode(
+        spark, root, columns=["doc_id"]).collect())
+
+    # append -> consume
+    encode_job.encode(spark, batches[1], root, commit_groups=1, n_salts=4,
+                      direct_write=True, max_chunk_tokens=512,
+                      group_prefix="b1g")
+    cursor = consume(cursor)
+
+    # compact (layout-only) -> consume sees nothing new
+    maintenance.compact(spark, root, max_chunk_tokens=4096)
+    n_before = len(seen)
+    cursor = consume(cursor)
+    assert len(seen) == n_before
+
+    # expire history the cursor no longer needs; cursor stays valid
+    maintenance.expire_snapshots(root, keep_last=2)
+    cursor = consume(cursor)
+    assert len(seen) == n_before
+
+    # append again -> consume
+    encode_job.encode(spark, batches[2], root, commit_groups=1, n_salts=4,
+                      direct_write=True, max_chunk_tokens=512,
+                      group_prefix="b2g")
+    cursor = consume(cursor)
+
+    # exactly-once: delivered multiset == table contents, no dupes
+    want = sorted(r[0] for b in batches
+                  for r in b.select("doc_id").collect())
+    assert sorted(seen) == want
+    assert len(seen) == len(set(seen))
+
+    # a cursor below the retained chain refuses loudly
+    maintenance.expire_snapshots(root, keep_last=1)
+    with pytest.raises(ValueError, match="retained chain"):
+        decode_job.decode_changes(spark, root, cursor - 10 if cursor >= 10
+                                  else 0)

@@ -110,7 +110,26 @@ def _decode_chunk(pages: dict, cols: list[str], packed: bool) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays([arrays[c] for c in cols], names=cols)
 
 
-def make_decode_batches(packed: bool = False, cols: list[str] | None = None):
+_EXTRA_PA = {"int": pa.int32(), "bigint": pa.int64(), "string": pa.string()}
+
+
+def _extra_array(page, spark_type: str, n: int) -> pa.Array:
+    """Decode one extra-column page to ``n`` values; a missing page
+    (chunk predates the column) back-fills NULLs. Int pages decode at
+    their recorded width and cast to the DECLARED width — how an int
+    column widened to bigint reads int32-era chunks."""
+    if page is None:
+        return pa.nulls(n, _EXTRA_PA[spark_type])
+    if spark_type == "string":
+        return _string_array(page)
+    v = pageformat.decode_int_page(page)
+    return pa.array(v.astype(np.int64 if spark_type == "bigint"
+                             else np.int32, copy=False),
+                    type=_EXTRA_PA[spark_type])
+
+
+def make_decode_batches(packed: bool = False, cols: list[str] | None = None,
+                        extras: tuple = ()):
     cols = list(ALL_COLUMNS) if cols is None else cols
     page_cols = sorted({_COL_PAGE[c] for c in cols}
                        | ({"page_n_tok"} if "tokens" in cols else set()))
@@ -125,22 +144,33 @@ def make_decode_batches(packed: bool = False, cols: list[str] | None = None):
             views = {c: _binary_views(batch.column(idx[c])) for c in page_cols}
             parts = [batch.column(idx[c]) for c in ("doc_part", "doc_parts")]
             uids = batch.column(idx["split_uid"])
+            ext = batch.column(idx["extra_pages"]) if extras else None
             for r in range(batch.num_rows):
                 chunk = _decode_chunk(
                     {c: data[off[r]:off[r + 1]] for c, (off, data) in views.items()},
                     cols, packed)
                 n = chunk.num_rows
+                arrays = list(chunk.columns)
+                names = list(chunk.schema.names)
+                if extras:
+                    # extra pages are per-doc scalars (tiny); map-scalar
+                    # access is chunk-granular, not row-granular
+                    m = ext[r].as_py()
+                    m = dict(m) if m else {}
+                    for name, t in extras:
+                        arrays.append(_extra_array(m.get(name), t, n))
+                        names.append(name)
                 yield pa.RecordBatch.from_arrays(
-                    list(chunk.columns)
+                    arrays
                     + [pa.array([parts[0][r].as_py()] * n, pa.int32()),
                        pa.array([parts[1][r].as_py()] * n, pa.int32()),
                        pa.array([uids[r].as_py()] * n, pa.string())],
-                    names=list(chunk.schema.names) + _LINEAGE_COLS)
+                    names=names + _LINEAGE_COLS)
 
-    return decode_batches, page_cols
+    return decode_batches, page_cols + (["extra_pages"] if extras else [])
 
 
-def make_stitch_batches(packed: bool, cols: list[str]):
+def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
     """mapInArrow over SPLIT-PART page rows, co-partitioned by the split
     group (``sgrp``) and sorted (sgrp, doc_part): linear reassembly of
     oversized documents. Each split-part chunk is single-row by
@@ -157,6 +187,10 @@ def make_stitch_batches(packed: bool, cols: list[str]):
     page_cols = sorted({_COL_PAGE[c] for c in dec_cols}
                        | ({"page_tokens"} if need_tok else set())
                        | ({"page_n_tok"} if need_ntok else set()))
+    in_cols = page_cols + (["extra_pages"] if extras else [])
+    ext_names = [n for n, _ in extras]
+    out_names = cols + ext_names
+
     def stitch(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # bind at call time so tests can shrink the thresholds
         _FLUSH_BYTES = STITCH_FLUSH_BYTES
@@ -165,7 +199,9 @@ def make_stitch_batches(packed: bool, cols: list[str]):
         vals: list[np.ndarray] = []
         ntok = 0
         first: dict[str, str] = {}
-        done: dict[str, list] = {c: [] for c in cols}
+        first_ext: dict[str, object] = {}
+        got_first = False
+        done: dict[str, list] = {c: [] for c in out_names}
         done_bytes = 0
 
         def finish_group() -> pa.RecordBatch | None:
@@ -175,7 +211,7 @@ def make_stitch_batches(packed: bool, cols: list[str]):
             (a near-2^31-byte reassembled doc on top of an almost-full
             buffer — the _FLUSH_BYTES check alone runs only between
             groups and would let the packed offsets wrap silently)."""
-            nonlocal ntok, vals, first, done_bytes
+            nonlocal ntok, vals, first, first_ext, got_first, done_bytes
             if cur is None:
                 return None
             pre = None
@@ -187,17 +223,20 @@ def make_stitch_batches(packed: bool, cols: list[str]):
                     pre = flush()
             for c in dec_cols:
                 done[c].append(first[c])
+            for n_ in ext_names:
+                done[n_].append(first_ext.get(n_))
             if need_tok:
                 done["tokens"].append(v)
                 done_bytes += v.nbytes
             if need_ntok:
                 done["n_tok"].append(ntok)
-            vals, ntok, first = [], 0, {}
+            vals, ntok, first, first_ext = [], 0, {}, {}
+            got_first = False
             return pre
 
         def flush() -> pa.RecordBatch | None:
             nonlocal done, done_bytes
-            n = len(done[cols[0]])
+            n = len(done[out_names[0]])
             if n == 0:
                 return None
             arrays = []
@@ -228,9 +267,11 @@ def make_stitch_batches(packed: bool, cols: list[str]):
                     arrays.append(pa.array(done["n_tok"], type=pa.int32()))
                 else:
                     arrays.append(pa.array(done[c], type=pa.string()))
-            done = {c: [] for c in cols}
+            for n_, t in extras:
+                arrays.append(pa.array(done[n_], type=_EXTRA_PA[t]))
+            done = {c: [] for c in out_names}
             done_bytes = 0
-            return pa.RecordBatch.from_arrays(arrays, names=cols)
+            return pa.RecordBatch.from_arrays(arrays, names=out_names)
 
         for batch in it:
             if batch.num_rows == 0:
@@ -238,6 +279,7 @@ def make_stitch_batches(packed: bool, cols: list[str]):
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             views = {c: _binary_views(batch.column(idx[c])) for c in page_cols}
             grps = batch.column(idx["sgrp"])
+            ext = batch.column(idx["extra_pages"]) if extras else None
             for r in range(batch.num_rows):
                 g = grps[r].as_py()
                 if g != cur:
@@ -255,9 +297,16 @@ def make_stitch_batches(packed: bool, cols: list[str]):
                     vals.append(pageformat.decode_int_page(pages["page_tokens"]))
                 if need_ntok:
                     ntok += int(pageformat.decode_int_page(pages["page_n_tok"]).sum())
-                if dec_cols and not first:
+                if not got_first:
+                    got_first = True
                     for c in dec_cols:
                         first[c] = _string_array(pages[_COL_PAGE[c]])[0].as_py()
+                    if extras:
+                        m = ext[r].as_py()
+                        m = dict(m) if m else {}
+                        for n_, t in extras:
+                            first_ext[n_] = (
+                                _extra_array(m.get(n_), t, 1)[0].as_py())
         pre = finish_group()
         if pre is not None:
             yield pre
@@ -265,13 +314,14 @@ def make_stitch_batches(packed: bool, cols: list[str]):
         if b is not None:
             yield b
 
-    return stitch, page_cols
+    return stitch, in_cols
 
 
-def _out_ddl(cols: list[str], packed: bool) -> str:
+def _out_ddl(cols: list[str], packed: bool, extras: tuple = ()) -> str:
     types = {"doc_id": "string", "n_tok": "int", "source": "string",
              "tokens": "binary" if packed else "array<int>"}
-    return ", ".join(f"{c} {types[c]}" for c in cols)
+    return ", ".join([f"{c} {types[c]}" for c in cols]
+                     + [f"{n} {t}" for n, t in extras])
 
 
 def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | None:
@@ -356,13 +406,21 @@ def decode(spark: SparkSession, root: str,
     """
     from pyspark.sql import functions as F
 
-    req = list(ALL_COLUMNS) if columns is None else list(columns)
-    bad = [c for c in req if c not in ALL_COLUMNS]
+    # schema evolution: extra columns declared anywhere on the chain are
+    # part of the logical schema — default projection includes them, and
+    # chunks predating a column back-fill NULL (manifest-only resolution)
+    from tokencodec.spark.encode_job import table_extra_schema
+    extra_schema = table_extra_schema(root, snapshot_id)
+    req = (list(ALL_COLUMNS) + sorted(extra_schema)
+           if columns is None else list(columns))
+    bad = [c for c in req if c not in ALL_COLUMNS and c not in extra_schema]
     if bad:
-        raise ValueError(f"unknown columns {bad}; available: {ALL_COLUMNS}")
+        raise ValueError(f"unknown columns {bad}; available: "
+                         f"{ALL_COLUMNS + sorted(extra_schema)}")
+    extras = tuple((c, extra_schema[c]) for c in req if c in extra_schema)
     # columns needed internally for row-level re-filters and for legacy
     # split-group keys; decoded if missing, dropped again at the end
-    cols = list(req)
+    cols = [c for c in req if c in ALL_COLUMNS]
     if sources is not None and "source" not in cols:
         cols = cols + ["source"]
     if (n_tok_min is not None or n_tok_max is not None) and "n_tok" not in cols:
@@ -429,23 +487,24 @@ def decode(spark: SparkSession, root: str,
     any_split = bool(max_parts and max_parts > 1)
     # column pruning down to the PAGE level: only requested columns'
     # binary pages (+ part markers) cross the Arrow boundary
-    fn, page_cols = make_decode_batches(packed, cols)
+    fn, page_cols = make_decode_batches(packed, cols, extras)
+    out_ddl = _out_ddl(cols, packed, extras)
     lineage_ddl = ", doc_part int, doc_parts int, split_uid string"
     if not any_split:
         out = (pages.select(page_cols + _LINEAGE_COLS)
-               .mapInArrow(fn, _out_ddl(cols, packed) + lineage_ddl)
+               .mapInArrow(fn, out_ddl + lineage_ddl)
                .drop(*_LINEAGE_COLS))
     elif "tokens" not in cols and "n_tok" not in cols:
         # split parts duplicate (doc_id, source); part 0 is the identity
         # — pruned BEFORE decode, so parts 1..P-1 never even decode
         out = (pages.filter(F.col("doc_part") == 0)
                .select(page_cols + _LINEAGE_COLS)
-               .mapInArrow(fn, _out_ddl(cols, packed) + lineage_ddl)
+               .mapInArrow(fn, out_ddl + lineage_ddl)
                .drop(*_LINEAGE_COLS))
     else:
         whole = (pages.filter(F.col("doc_parts") == 1)
                  .select(page_cols + _LINEAGE_COLS)
-                 .mapInArrow(fn, _out_ddl(cols, packed) + lineage_ddl)
+                 .mapInArrow(fn, out_ddl + lineage_ddl)
                  .drop(*_LINEAGE_COLS))
         # oversized documents were split across chunks at encode time
         # (skew handling); co-locate their ENCODED part pages on the
@@ -459,14 +518,14 @@ def decode(spark: SparkSession, root: str,
         # files, incl. inside mixed-version tables) carry NULL
         # split_uid; their chunks hold exactly one doc, so the chunk
         # stat doc_id_min (== the doc's id) is the historical group key.
-        sfn, spage_cols = make_stitch_batches(packed, cols)
+        sfn, spage_cols = make_stitch_batches(packed, cols, extras)
         stitched = (pages.filter(F.col("doc_parts") > 1)
                     .withColumn("sgrp", F.coalesce(F.col("split_uid"),
                                                    F.col("doc_id_min")))
                     .select(spage_cols + ["sgrp", "doc_part"])
                     .repartition("sgrp")
                     .sortWithinPartitions("sgrp", "doc_part")
-                    .mapInArrow(sfn, _out_ddl(cols, packed)))
+                    .mapInArrow(sfn, out_ddl))
         out = whole.unionByName(stitched)
     if dels is not None:
         # takedown-sized sets by contract (maintenance.delete_docs):
@@ -507,6 +566,9 @@ def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict
     exact exceptAll diff runs to report row counts.
     """
     cols = [c for c in ALL_COLUMNS if c in original.columns]
+    # schema-evolved extras: compared when both sides carry them
+    cols += sorted(c for c in original.columns
+                   if c not in cols and c in decoded.columns)
     if not strict:
         a = _signature(original.select(*cols))
         b = _signature(decoded.select(*cols))
@@ -518,7 +580,8 @@ def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict
             "ok": missing == 0 and extra == 0}
 
 
-def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
+def changed_paths(root: str, since_snapshot_id: int,
+                  until_snapshot_id: int | None = None) -> list[str]:
     """Data paths ADDED by commits after ``since_snapshot_id`` on the
     current chain (manifest walk only — no Spark job). Append commits
     contribute the paths of their ``new_groups``; replace commits
@@ -526,7 +589,12 @@ def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
     rows and contribute nothing. Raises when ``since`` is not on the
     retained chain: after expiry the walk cannot prove the change set
     is complete (the standard incremental-scan caveat — consume changes
-    inside the snapshot-retention window)."""
+    inside the snapshot-retention window).
+
+    ``until_snapshot_id`` bounds the scan (inclusive) — the
+    exactly-once consumer protocol reads its new cursor FIRST, then
+    scans (since, until]: a commit racing the scan lands either inside
+    this bounded cycle or after the new cursor, never both."""
     tbl = SnapshotTable(root)
     chain = tbl.chain()
     if not chain:
@@ -537,6 +605,12 @@ def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
             f"snapshot {since_snapshot_id} is not on the retained chain "
             f"{ids} (expired or never committed): incremental changes "
             "cannot be enumerated completely")
+    if until_snapshot_id is not None:
+        if until_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {until_snapshot_id} is not on the retained "
+                f"chain {ids}: cannot bound the incremental scan")
+        chain = chain[:ids.index(until_snapshot_id) + 1]
     from tokencodec.spark.table import is_delete_group
     out: list[str] = []
     for s in chain[ids.index(since_snapshot_id) + 1:]:
@@ -551,7 +625,8 @@ def changed_paths(root: str, since_snapshot_id: int) -> list[str]:
 
 def decode_changes(spark: SparkSession, root: str, since_snapshot_id: int,
                    packed: bool = False,
-                   columns: list[str] | None = None) -> DataFrame:
+                   columns: list[str] | None = None,
+                   until_snapshot_id: int | None = None) -> DataFrame:
     """Incremental read (Iceberg's incremental append scan): decode
     ONLY the rows committed after ``since_snapshot_id`` — the shape an
     incremental training-data consumer runs per ingestion cycle, paying
@@ -562,4 +637,5 @@ def decode_changes(spark: SparkSession, root: str, since_snapshot_id: int,
     compaction until snapshot expiry, so consume within the retention
     window."""
     return decode(spark, root, packed=packed, columns=columns,
-                  paths=changed_paths(root, since_snapshot_id))
+                  paths=changed_paths(root, since_snapshot_id,
+                                      until_snapshot_id))

@@ -47,8 +47,17 @@ PAGES_DDL = (
     "tokens_codec string, doc_id_codec string, n_tok_codec string, source_codec string, "
     "raw_bytes bigint, enc_bytes bigint, "
     "page_tokens binary, page_doc_id binary, page_n_tok binary, page_source binary, "
-    "n_tok_min int, n_tok_max int, source_set string"
+    "n_tok_min int, n_tok_max int, source_set string, "
+    # schema evolution (round 5): per-chunk pages of user-added columns,
+    # keyed by column name; chunks from commits predating a column
+    # simply lack its key (or the whole map, on pre-r5 files) and decode
+    # it as NULL — Iceberg's add-column back-fill semantics
+    "extra_pages map<string,binary>"
 )
+
+# Spark type name -> page kind for supported extra columns
+_EXTRA_KINDS = {"int": pageformat.KIND_INT32, "bigint": pageformat.KIND_INT64,
+                "string": pageformat.KIND_STRING}
 
 # per-chunk distinct-source lists longer than this are recorded as NULL
 # ("unknown"): an over-mixed chunk carries no pruning power anyway
@@ -63,11 +72,28 @@ def _str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return pageformat._arrow_str_buffers(arr)
 
 
+def encode_extra_page(arr, spark_type: str) -> bytes:
+    """One page for an extra column's chunk values: strings through the
+    string-page codecs, ints through the int-page codecs at the declared
+    width (int -> INT32 pages, bigint -> INT64 pages — the width is in
+    the page header, which is how decode widens int chunks under a
+    later bigint declaration)."""
+    if spark_type == "string":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        o, d = _str_buffers(arr.cast(pa.string()))
+        return pageformat.encode_string_page(o, d)
+    vals = (arr if isinstance(arr, np.ndarray)
+            else arr.to_numpy(zero_copy_only=False)).astype(np.int64)
+    return pageformat.encode_int_page(vals, _EXTRA_KINDS[spark_type])
+
+
 def _encode_chunk(bucket: int, salt: int, seq: int,
                   doc_id: pa.Array, tok_values: np.ndarray,
                   n_tok: np.ndarray, source: pa.Array,
                   doc_part: int = 0, doc_parts: int = 1,
-                  uid_prefix: str = "g0", split_uid: str = "") -> dict:
+                  uid_prefix: str = "g0", split_uid: str = "",
+                  extras: dict[str, bytes] | None = None) -> dict:
     from tokencodec import grouped
     p_tokens = grouped.encode_tokens_column(tok_values, n_tok)
     p_ntok = pageformat.encode_int_page(n_tok, pageformat.KIND_INT32)
@@ -78,6 +104,10 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     heads = [pageformat.read_header(p) for p in (p_tokens, p_doc, p_ntok, p_src)]
     raw = sum(h["raw_size"] for h in heads)
     enc = sum(len(p) for p in (p_tokens, p_doc, p_ntok, p_src))
+    if extras:
+        raw += sum(pageformat.read_header(p)["raw_size"]
+                   for p in extras.values())
+        enc += sum(len(p) for p in extras.values())
     n_rows = len(n_tok)
     # true value range, NOT first/last in sort order (rows are ordered
     # n_tok-major) — pruning correctness depends on this
@@ -104,6 +134,7 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
         "page_n_tok": p_ntok, "page_source": p_src,
         "n_tok_min": int(n_tok.min()) if n_rows else 0,
         "n_tok_max": int(n_tok.max()) if n_rows else 0,
+        "extra_pages": sorted((extras or {}).items()),
         "source_set": source_set,
     }
 
@@ -124,6 +155,7 @@ _PAGES_TYPES = {
     "page_n_tok": pa.binary(), "page_source": pa.binary(),
     "n_tok_min": pa.int32(), "n_tok_max": pa.int32(),
     "source_set": pa.string(),
+    "extra_pages": pa.map_(pa.string(), pa.binary()),
 }
 
 
@@ -162,7 +194,8 @@ def _tokens_as_values_offsets(batch: pa.RecordBatch, name: str) -> tuple[np.ndar
 
 def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                  tokens_col: str = "tokens",
-                 uid_prefix: str | None = None, commit_groups: int = 1):
+                 uid_prefix: str | None = None, commit_groups: int = 1,
+                 extra_cols: tuple = (), group_prefix: str = "g"):
     """mapInArrow function: bucketed batches -> encoded chunk rows.
 
     Carries buffered rows across Arrow batches inside one Spark
@@ -176,7 +209,8 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
     """
 
     def _prefix(salt: int) -> str:
-        return uid_prefix if uid_prefix is not None else f"g{salt % commit_groups}"
+        return (uid_prefix if uid_prefix is not None
+                else f"{group_prefix}{salt % commit_groups}")
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cur_key: tuple[int, int] | None = None
@@ -185,11 +219,19 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
         buf_vals: list[np.ndarray] = []
         buf_ntok: list[np.ndarray] = []
         buf_src: list[pa.Array] = []
+        buf_ext: dict[str, list] = {n: [] for n, _ in extra_cols}
         buf_tokens = 0
         out_rows: list[dict] = []
 
+        def _ext_pages(slices: dict[str, list]) -> dict[str, bytes] | None:
+            if not extra_cols:
+                return None
+            return {n: encode_extra_page(
+                pa.concat_arrays(slices[n]) if len(slices[n]) > 1
+                else slices[n][0], t) for n, t in extra_cols}
+
         def flush_chunk():
-            nonlocal buf_doc, buf_vals, buf_ntok, buf_src, buf_tokens, seq
+            nonlocal buf_doc, buf_vals, buf_ntok, buf_src, buf_ext, buf_tokens, seq
             if not buf_ntok:
                 return
             doc = pa.concat_arrays(buf_doc) if len(buf_doc) > 1 else buf_doc[0]
@@ -197,9 +239,11 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
             vals = np.concatenate(buf_vals) if len(buf_vals) > 1 else buf_vals[0]
             ntok = np.concatenate(buf_ntok) if len(buf_ntok) > 1 else buf_ntok[0]
             out_rows.append(_encode_chunk(cur_key[0], cur_key[1], seq, doc, vals, ntok, src,
-                                          uid_prefix=_prefix(cur_key[1])))
+                                          uid_prefix=_prefix(cur_key[1]),
+                                          extras=_ext_pages(buf_ext)))
             seq += 1
             buf_doc, buf_vals, buf_ntok, buf_src = [], [], [], []
+            buf_ext = {n: [] for n, _ in extra_cols}
             buf_tokens = 0
 
         for batch in it:
@@ -255,6 +299,10 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                             # (two source rows, or two streaming batches)
                             # can never merge parts across copies
                             sid = f"{pfx}-b{cur_key[0]:02d}-s{cur_key[1]:04d}-c{seq:06d}"
+                            one_ext = ({n: encode_extra_page(
+                                cols[n].slice(i, 1), t)
+                                for n, t in extra_cols} if extra_cols
+                                else None)
                             for p in range(n_parts):
                                 lo = p * max_chunk_tokens
                                 hi = min(L, lo + max_chunk_tokens)
@@ -265,13 +313,16 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                                     np.array([hi - lo], dtype=np.int64),
                                     cols["source"].slice(i, 1),
                                     doc_part=p, doc_parts=n_parts,
-                                    uid_prefix=pfx, split_uid=sid))
+                                    uid_prefix=pfx, split_uid=sid,
+                                    extras=one_ext))
                                 seq += 1
                             i += 1
                             continue
                         j = i + 1  # fits in exactly one chunk alone
                     buf_doc.append(cols["doc_id"].slice(i, j - i))
                     buf_src.append(cols["source"].slice(i, j - i))
+                    for n, _t in extra_cols:
+                        buf_ext[n].append(cols[n].slice(i, j - i))
                     buf_vals.append(t_values[t_offsets[i]:t_offsets[j]])
                     buf_ntok.append(ntok[i:j])
                     buf_tokens += int(cs[j - a - 1]) - base
@@ -306,6 +357,58 @@ def next_table_totals(parent: dict | None, delta: dict) -> dict | None:
         if base is None:
             return None
     return {k: int(base[k]) + int(delta.get(k, 0)) for k in _TOTAL_KEYS}
+
+
+def merge_extra_schema(base: dict, add: dict) -> dict:
+    """Merge two extra-column schemas: identical types agree, int
+    widens to bigint (Iceberg's legal promotion), anything else is an
+    incompatible redefinition and fails loudly."""
+    out = dict(base)
+    for k, t in add.items():
+        prev = out.get(k)
+        if prev is None or prev == t:
+            out[k] = t
+        elif {prev, t} == {"int", "bigint"}:
+            out[k] = "bigint"
+        else:
+            raise ValueError(
+                f"incompatible schema evolution for column '{k}': "
+                f"{prev} -> {t} (only int -> bigint widening is allowed)")
+    return out
+
+
+def next_extra_schema_chain(parent: dict | None, this_schema: dict) -> dict | None:
+    """Cumulative merged extra-column schema over the ancestry, carried
+    in ``metrics.extra_schema_chain`` (expiry-safe like the other chain
+    metrics). None on a legacy chain whose parent lacks the field AND
+    has groups that might carry extras — consumers then walk the
+    retained chain's per-commit ``extra_schema`` entries."""
+    if parent is None:
+        return dict(this_schema)
+    pm = parent.get("metrics", {})
+    if "extra_schema_chain" in pm:
+        return merge_extra_schema(pm["extra_schema_chain"], this_schema)
+    if "extra_schema" in pm:
+        return None  # legacy-style chain with extras: walk instead
+    # parent chain never declared extras: safe to start the chain here
+    return dict(this_schema)
+
+
+def table_extra_schema(root: str, snapshot_id: int | None = None) -> dict[str, str]:
+    """The merged extra-column schema visible at a snapshot: the chain
+    field when present, else a walk over the retained chain's
+    per-commit declarations."""
+    tbl = SnapshotTable(root)
+    chain = tbl.chain(snapshot_id)
+    if not chain:
+        return {}
+    tail = chain[-1].get("metrics", {})
+    if "extra_schema_chain" in tail:
+        return dict(tail["extra_schema_chain"])
+    out: dict[str, str] = {}
+    for s in chain:
+        out = merge_extra_schema(out, s.get("metrics", {}).get("extra_schema", {}))
+    return out
 
 
 def next_chain_max(parent: dict | None, this_max: int) -> int | None:
@@ -350,7 +453,8 @@ META_DDL = ("grp int, file string, n_chunks bigint, n_rows bigint, "
 
 def make_direct_writer(run_dir: str, parquet_codec: str,
                        max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
-                       commit_groups: int = 1, uid_prefix: str | None = None):
+                       commit_groups: int = 1, uid_prefix: str | None = None,
+                       extra_cols: tuple = (), group_prefix: str = "g"):
     """mapInArrow function: encode AND write pages parquet inside the
     task (Iceberg's write pattern — tasks produce data files, the
     driver commits the file list). Skips the classic path's two costs:
@@ -361,7 +465,8 @@ def make_direct_writer(run_dir: str, parquet_codec: str,
     removes — the manifest lists exactly the files of attempts whose
     result row was collected."""
     inner = make_encoder(max_chunk_tokens, uid_prefix=uid_prefix,
-                         commit_groups=commit_groups)
+                         commit_groups=commit_groups, extra_cols=extra_cols,
+                         group_prefix=group_prefix)
     schema = pa.schema(_PAGES_TYPES)
 
     def write_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -426,11 +531,25 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
            partitions: int | None = None,
            parquet_codec: str = "zstd",
            direct_write: bool = False,
-           extra_metrics: dict | None = None) -> DataFrame:
+           extra_metrics: dict | None = None,
+           group_prefix: str = "g") -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF.
 
     ``extra_metrics`` entries are merged into every group commit's
     metrics (caller-level provenance, e.g. packing parameters).
+
+    ``group_prefix`` names this batch's commit groups (default "g"):
+    pass a fresh prefix to APPEND another batch of documents to an
+    already-committed table — the appended groups get their own keys
+    and chunk-uid namespace, exactly like streaming micro-batches.
+
+    Schema evolution (round 5): any column of ``df`` beyond the core
+    (doc_id, tokens, n_tok, source) is encoded as an EXTRA column —
+    int / bigint / string supported — with its own page per chunk and
+    the commit records its type in ``metrics.extra_schema``. Later
+    batches may add columns (older chunks decode them as NULL) or widen
+    an int column to bigint; decode resolves the merged schema from the
+    manifest chain.
 
     ``direct_write=True`` writes pages parquet with pyarrow inside each
     task and commits the collected file list (Iceberg's task-file /
@@ -447,9 +566,26 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     are cut inside (bucket, salt) segments and a salt is never split
     across groups.
     """
+    from tokencodec.spark.table import is_delete_group
+    if is_delete_group(group_prefix):
+        raise ValueError(f"group_prefix '{group_prefix}' collides with "
+                         "delete-manifest group keys")
+    core = {"doc_id", "tokens", "n_tok", "source"}
+    extra_schema: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name in core:
+            continue
+        t = f.dataType.simpleString()
+        if t not in _EXTRA_KINDS:
+            raise ValueError(
+                f"unsupported extra column {f.name}: {t} (supported: "
+                f"{sorted(_EXTRA_KINDS)}); drop it or cast before encode")
+        extra_schema[f.name] = t
+    extra_cols = tuple(sorted(extra_schema.items()))
     tbl = SnapshotTable(out_root)
     done = set(tbl.committed_groups())
-    remaining = [g for g in range(commit_groups) if f"g{g}" not in done]
+    remaining = [g for g in range(commit_groups)
+                 if f"{group_prefix}{g}" not in done]
     if not remaining:
         return read_pages(spark, out_root)
     if n_salts is None:
@@ -459,7 +595,9 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     # would silently drop/duplicate documents — fail fast instead
     scheme = {"group_scheme": "salt_mod", "n_salts": int(n_salts),
               "commit_groups": int(commit_groups)}
-    has_batch_groups = any(k.startswith("g") and k[1:].isdigit() for k in done)
+    has_batch_groups = any(
+        k.startswith(group_prefix) and k[len(group_prefix):].isdigit()
+        for k in done)
     if has_batch_groups:
         prev = next((s["metrics"]["scheme"] for s in reversed(tbl.snapshots())
                      if s.get("metrics", {}).get("scheme")), None)
@@ -488,12 +626,15 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                       "pyarrow cannot resolve the scheme in workers; "
                       "using the classic JVM write")
         direct_write = False
+    sel_cols = _COLS + [n for n, _ in extra_cols]
     if direct_write:
         run_dir = tbl.new_run_dir()
         tbl.fs.mkdirs(run_dir)
         writer_fn = make_direct_writer(run_dir, parquet_codec,
-                                       max_chunk_tokens, commit_groups)
-        meta = bucketed.select(_COLS).mapInArrow(writer_fn, META_DDL).collect()
+                                       max_chunk_tokens, commit_groups,
+                                       extra_cols=extra_cols,
+                                       group_prefix=group_prefix)
+        meta = bucketed.select(sel_cols).mapInArrow(writer_fn, META_DDL).collect()
         wall = time.time() - t0
         # sweep orphans from lost/retried attempts BEFORE committing:
         # only files whose result row was collected are real
@@ -514,6 +655,11 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                  "max_doc_parts": max((r["max_doc_parts"] for r in rows),
                                       default=0),
                  "scheme": scheme, **(extra_metrics or {})}
+            if extra_schema:
+                m["extra_schema"] = extra_schema
+            esc = next_extra_schema_chain(parent, extra_schema)
+            if esc is not None:
+                m["extra_schema_chain"] = esc
             if rows:
                 m["pass_wall_sec"] = round(wall, 3)
                 m["pass_groups"] = len(remaining)
@@ -523,11 +669,13 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             cmax = next_chain_max(parent, m["max_doc_parts"])
             if cmax is not None:
                 m["max_doc_parts_chain"] = cmax
-            parent = tbl.commit({f"g{g}": sorted(r["file"] for r in rows)},
-                                metrics=m)
+            parent = tbl.commit(
+                {f"{group_prefix}{g}": sorted(r["file"] for r in rows)},
+                metrics=m)
         return read_pages(spark, out_root)
-    encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups)
-    pages = bucketed.select(_COLS).mapInArrow(encoder, PAGES_DDL)
+    encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups,
+                           extra_cols=extra_cols, group_prefix=group_prefix)
+    pages = bucketed.select(sel_cols).mapInArrow(encoder, PAGES_DDL)
     # per-group commit metrics ride along with the write action itself
     # (Observation aggregates during the job) — the former read-back of
     # the freshly written parquet cost a full extra pages scan per group
@@ -572,6 +720,11 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m = {name: int(observed[f"{name}_{g}"] or 0) for name in _METRIC_AGGS}
         m["scheme"] = scheme
         m.update(extra_metrics or {})
+        if extra_schema:
+            m["extra_schema"] = extra_schema
+        esc = next_extra_schema_chain(parent, extra_schema)
+        if esc is not None:
+            m["extra_schema_chain"] = esc
         totals = next_table_totals(parent, m)
         if totals is not None:
             m["table_totals"] = totals
@@ -583,11 +736,11 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         # empty path list so resume knows the group is done and readers
         # see a valid empty table
         if m["n_chunks"] == 0 or not _has_parquet(tbl.fs, gdir):
-            parent = tbl.commit({f"g{g}": []}, metrics=m)
+            parent = tbl.commit({f"{group_prefix}{g}": []}, metrics=m)
             continue
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
-        parent = tbl.commit({f"g{g}": [gdir]}, metrics=m)
+        parent = tbl.commit({f"{group_prefix}{g}": [gdir]}, metrics=m)
     return read_pages(spark, out_root)
 
 

@@ -217,9 +217,11 @@ class HadoopFS:
 # create-exclusive claim: S3A's create(overwrite=false) is
 # check-then-create and its rename is copy+delete, so the snapshot
 # claim is unsafe against concurrent committers through that API.
-# s3/s3a/s3n are instead served NATIVELY by ObjectStoreFS (conditional
-# PUTs via boto3) when boto3 is importable; the remaining schemes here
-# are refused unless the caller opts into single-writer mode.
+# s3/s3a/s3n are served NATIVELY by ObjectStoreFS (conditional PUTs
+# via boto3) when boto3 is importable, and gs:// natively over the GCS
+# JSON API (ifGenerationMatch=0, stdlib HTTP — round 5); the remaining
+# schemes here are refused unless the caller opts into single-writer
+# mode.
 RENAME_UNSAFE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss"})
 
 # Schemes ObjectStoreFS can commit on safely with native conditional
@@ -257,6 +259,13 @@ def fs_for(root: str, allow_unsafe: bool | None = None):
         else:
             from tokencodec.spark.objectstore import ObjectStoreFS
             return ObjectStoreFS.for_s3(root)
+    if scheme == "gs" and not explicit_unsafe:
+        # stdlib-HTTP GCS JSON API client: conditional PUTs give gs://
+        # the same safe multi-writer commit protocol as s3://; missing
+        # credentials fail loudly at first use, and an explicit
+        # allow_unsafe=True still selects the Hadoop gcs-connector path
+        from tokencodec.spark.objectstore import ObjectStoreFS
+        return ObjectStoreFS.for_gcs(root)
     if scheme in RENAME_UNSAFE_SCHEMES and not allow_unsafe:
         raise ValueError(
             f"manifest root scheme '{scheme}://' has no atomic "

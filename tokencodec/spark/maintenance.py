@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from tokencodec import grouped, pageformat
 from tokencodec.spark import partition as part
-from tokencodec.spark.encode_job import PAGES_DDL, _encode_chunk, read_pages
+from tokencodec.spark.encode_job import (PAGES_DDL, _encode_chunk,
+                                         next_extra_schema_chain, read_pages)
 from tokencodec.spark.table import SnapshotTable, is_delete_group
 
 _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
@@ -228,16 +229,22 @@ def compact(spark: SparkSession, root: str,
                 .na.fill({"doc_parts": 1})
                 .filter(F.col("doc_parts") > 1)
                 .select(sgrp.alias("sgrp"), "n_tokens", "doc_parts",
+                        F.coalesce(F.size(F.col("extra_pages")),
+                                   F.lit(0)).alias("n_ext"),
                         F.input_file_name().alias("fname")))
         rgrps = (allm.groupBy("sgrp")
                  .agg(F.sum("n_tokens").alias("tot_tok"),
                       F.count(F.lit(1)).alias("k"),
                       F.max("doc_parts").alias("parts"),
+                      F.max("n_ext").alias("ext"),
                       F.collect_set("fname").alias("files"))
                  # only complete groups are rewritten (a partial group —
                  # corruption or concurrent surgery — passes through),
-                 # and only when the new layout has FEWER parts
+                 # only when the new layout has FEWER parts, and never
+                 # groups carrying extra pages (resplit kernel is
+                 # core-columns-only; they pass through verbatim)
                  .filter((F.col("k") == F.col("parts"))
+                         & (F.col("ext") <= 0)
                          & (F.ceil(F.col("tot_tok") / F.lit(max_chunk_tokens))
                             < F.col("parts"))))
         rgrps = rgrps.cache()
@@ -296,7 +303,12 @@ def compact(spark: SparkSession, root: str,
                               .drop("sgrp"))
                  .unionByName(resplit))
 
-    mergeable = (F.col("doc_parts") == 1) & (F.col("n_tokens") < max_chunk_tokens // 2)
+    # chunks carrying schema-evolution extra pages are excluded from
+    # merging (the merge kernel re-encodes core columns only); they pass
+    # through verbatim, extras intact — a documented round-5 limitation
+    no_extras = F.coalesce(F.size(F.col("extra_pages")), F.lit(0)) <= 0
+    mergeable = ((F.col("doc_parts") == 1)
+                 & (F.col("n_tokens") < max_chunk_tokens // 2) & no_extras)
     # budget-bounded merge groups per (bucket, salt): a running token
     # sum divided by the budget. Ordered by chunk_uid — chunk_seq
     # REPEATS across commit groups / streaming batches for one (bucket,
@@ -388,6 +400,9 @@ def compact(spark: SparkSession, root: str,
     m["table_totals"] = {k: m[k] for k in
                          ("n_chunks", "n_rows", "n_tokens", "enc_bytes")}
     m["max_doc_parts_chain"] = m["max_doc_parts"]
+    esc = next_extra_schema_chain(snap, {})
+    if esc is not None:
+        m["extra_schema_chain"] = esc
     # every group keeps its unselected files; the rewritten run dir is
     # attached to the first group key (chunk group identity lives in the
     # chunk_uid prefix, not in which file holds the chunk)
@@ -444,7 +459,9 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
     df.write.mode("overwrite").parquet(run_dir)
     files = sorted(posixpath.join(run_dir, n)
                    for n in tbl.fs.listdir(run_dir) if n.endswith(".parquet"))
-    from tokencodec.spark.encode_job import next_chain_max, next_table_totals
+    from tokencodec.spark.encode_job import (next_chain_max,
+                                             next_extra_schema_chain,
+                                             next_table_totals)
     m: dict = {"op": "delete", "n_delete_ids": int(n_ids)}
     totals = next_table_totals(snap, {})
     if totals is not None:
@@ -452,6 +469,9 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
     cmax = next_chain_max(snap, 0)
     if cmax is not None:
         m["max_doc_parts_chain"] = cmax
+    esc = next_extra_schema_chain(snap, {})
+    if esc is not None:
+        m["extra_schema_chain"] = esc
     return tbl.commit({f"del:{_uuid.uuid4().hex[:8]}": files}, metrics=m)
 
 
@@ -496,6 +516,25 @@ def _purge_batches(ids: frozenset, uid_prefix: str):
                     [toks[s:e] for s, e, k in zip(starts, ends, keep) if k])
                     if keep.any() else np.empty(0, toks.dtype))
                 kidx = pa.array(np.flatnonzero(keep))
+                ext_raw = batch.column(idx["extra_pages"])[r].as_py()
+                extras_out = None
+                if ext_raw:
+                    # schema-evolution extras: mask and re-encode each
+                    # page at its RECORDED kind (no schema needed)
+                    from tokencodec.spark.encode_job import encode_extra_page
+                    extras_out = {}
+                    for name, page in dict(ext_raw).items():
+                        kind = pageformat.read_header(page)["kind"]
+                        if kind == pageformat.KIND_STRING:
+                            arr = _string_array(page).take(kidx)
+                            extras_out[name] = encode_extra_page(
+                                arr, "string")
+                        else:
+                            v = pageformat.decode_int_page(page)[
+                                np.asarray(keep)]
+                            t = ("int" if kind == pageformat.KIND_INT32
+                                 else "bigint")
+                            extras_out[name] = encode_extra_page(v, t)
                 row = _encode_chunk(
                     batch.column(idx["bucket"])[r].as_py(),
                     batch.column(idx["salt"])[r].as_py(),
@@ -504,7 +543,7 @@ def _purge_batches(ids: frozenset, uid_prefix: str):
                              pa.string()),
                     tok_keep, ntok[keep],
                     src.take(kidx).cast(pa.string()),
-                    uid_prefix=uid_prefix)
+                    uid_prefix=uid_prefix, extras=extras_out)
                 # chunk_seq repeats across commit groups: derive the new
                 # uid from the (table-unique) original instead
                 row["chunk_uid"] = (
@@ -619,6 +658,9 @@ def purge_deletes(spark: SparkSession, root: str,
     m["table_totals"] = {k: m[k] for k in
                          ("n_chunks", "n_rows", "n_tokens", "enc_bytes")}
     m["max_doc_parts_chain"] = m["max_doc_parts"]
+    esc = next_extra_schema_chain(snap, {})
+    if esc is not None:
+        m["extra_schema_chain"] = esc
     new_groups: dict[str, list[str]] = {}
     attached = False
     for k in sorted(snap["groups"]):

@@ -263,6 +263,137 @@ class S3Client:
         self.c.delete_object(Bucket=self.bucket, Key=key)
 
 
+class GCSClient:
+    """Google Cloud Storage client over the public JSON API (same
+    protocol as DirObjectStore/S3Client). Conditional create uses
+    ``ifGenerationMatch=0`` — GCS returns HTTP 412 PreconditionFailed
+    when the object already exists, atomically with the full body: the
+    exact primitive the commit protocol needs, so gs:// manifest roots
+    get safe MULTI-writer commits (VERDICT r4 next #5) instead of the
+    single-writer opt-in.
+
+    Zero non-stdlib dependencies: requests go through an injectable
+    ``transport(method, url, data, headers) -> (status, headers, body)``
+    (urllib by default) with a bearer token from ``token_provider`` —
+    default: the GOOGLE_OAUTH_ACCESS_TOKEN env var, then google.auth's
+    default credentials when that package is importable."""
+
+    _BASE = "https://storage.googleapis.com"
+
+    def __init__(self, bucket: str, transport=None, token_provider=None):
+        self.bucket = bucket
+        self.transport = transport or self._urllib_transport
+        self.token_provider = token_provider or self._default_token
+
+    # --------------------------------------------------------- plumbing
+    @staticmethod
+    def _urllib_transport(method, url, data, headers):
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(url, data=data, headers=headers,
+                                     method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, dict(r.headers), r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), e.read()
+
+    @staticmethod
+    def _default_token() -> str:
+        tok = os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")
+        if tok:
+            return tok
+        try:
+            import google.auth
+            import google.auth.transport.requests
+            creds, _ = google.auth.default()
+            creds.refresh(google.auth.transport.requests.Request())
+            return creds.token
+        except Exception as e:
+            raise RuntimeError(
+                "no GCS credentials: set GOOGLE_OAUTH_ACCESS_TOKEN or "
+                "install google-auth with application default "
+                "credentials") from e
+
+    def _call(self, method, url, data=None, extra_headers=None):
+        headers = {"Authorization": f"Bearer {self.token_provider()}"}
+        headers.update(extra_headers or {})
+        return self.transport(method, url, data, headers)
+
+    @staticmethod
+    def _q(key: str) -> str:
+        from urllib.parse import quote
+        return quote(key, safe="")
+
+    # --------------------------------------------------------- protocol
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
+        url = (f"{self._BASE}/upload/storage/v1/b/{self.bucket}/o"
+               f"?uploadType=media&name={self._q(key)}")
+        if if_none_match:
+            url += "&ifGenerationMatch=0"
+        status, _, body = self._call(
+            "POST", url, data,
+            {"Content-Type": "application/octet-stream"})
+        if status == 412 and if_none_match:
+            raise PreconditionFailed(key)
+        if status // 100 != 2:
+            raise RuntimeError(f"GCS PUT {key}: HTTP {status} "
+                               f"{body[:200]!r}")
+
+    def get(self, key: str) -> bytes:
+        url = (f"{self._BASE}/storage/v1/b/{self.bucket}/o/"
+               f"{self._q(key)}?alt=media")
+        status, _, body = self._call("GET", url)
+        if status == 404:
+            raise KeyError(key)
+        if status // 100 != 2:
+            raise RuntimeError(f"GCS GET {key}: HTTP {status}")
+        return body
+
+    def head(self, key: str) -> tuple[int, float] | None:
+        import json as _json
+        url = f"{self._BASE}/storage/v1/b/{self.bucket}/o/{self._q(key)}"
+        status, _, body = self._call("GET", url)
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise RuntimeError(f"GCS HEAD {key}: HTTP {status}")
+        meta = _json.loads(body)
+        import calendar
+        ts = meta.get("updated", "1970-01-01T00:00:00.000Z")
+        mtime = calendar.timegm(time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S"))
+        return int(meta["size"]), float(mtime)
+
+    def list(self, prefix: str, limit: int | None = None) -> list[str]:
+        import json as _json
+        out: list[str] = []
+        token = None
+        while True:
+            url = (f"{self._BASE}/storage/v1/b/{self.bucket}/o"
+                   f"?prefix={self._q(prefix)}&fields="
+                   "items(name),nextPageToken")
+            if limit is not None:
+                url += f"&maxResults={max(1, limit - len(out))}"
+            if token:
+                url += f"&pageToken={self._q(token)}"
+            status, _, body = self._call("GET", url)
+            if status // 100 != 2:
+                raise RuntimeError(f"GCS LIST {prefix}: HTTP {status}")
+            r = _json.loads(body)
+            out.extend(o["name"] for o in r.get("items", []))
+            if limit is not None and len(out) >= limit:
+                return out[:limit]
+            token = r.get("nextPageToken")
+            if not token:
+                return out
+
+    def delete(self, key: str) -> None:
+        url = f"{self._BASE}/storage/v1/b/{self.bucket}/o/{self._q(key)}"
+        status, _, body = self._call("DELETE", url)
+        if status not in (200, 204, 404):
+            raise RuntimeError(f"GCS DELETE {key}: HTTP {status}")
+
+
 class ObjectStoreFS:
     """fsio-interface adapter over a conditional-put client.
 
@@ -282,6 +413,12 @@ class ObjectStoreFS:
         scheme, rest = root.split("://", 1)
         bucket = rest.split("/", 1)[0]
         return cls(f"{scheme}://{bucket}", S3Client(bucket))
+
+    @classmethod
+    def for_gcs(cls, root: str) -> "ObjectStoreFS":
+        scheme, rest = root.split("://", 1)
+        bucket = rest.split("/", 1)[0]
+        return cls(f"{scheme}://{bucket}", GCSClient(bucket))
 
     def _key(self, path: str) -> str:
         if not path.startswith(self.uri_prefix + "/"):
