@@ -167,6 +167,35 @@ def main() -> None:
         }
         shutil.rmtree(big_root, ignore_errors=True)
 
+        # @Mx PIPELINE walls (VERDICT r4 next #9): dedup/knn/rle are
+        # bound by the sf tables, not the token corpus — scale those
+        # tables BIG_MULT-x (id-shifted unions, deterministic) into a
+        # side sf dir and rerun the same query functions against it.
+        big_sf = ("/tmp/tokencodec_bench/"
+                  f"{os.path.basename(SF_DIR.rstrip('/'))}_{BIG_MULT}x")
+
+        def scale_table(table: str, idcol: str) -> None:
+            dst = os.path.join(big_sf, f"{table}.parquet")
+            if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                return
+            t = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+            parts = [t.withColumn(
+                idcol, (F.col(idcol).cast("bigint")
+                        + F.lit(i * 10 ** 12).cast("bigint")))
+                for i in range(BIG_MULT)]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            u.write.mode("overwrite").parquet(dst)
+
+        scale_table("documents", "doc_id")
+        scale_table("embeddings", "vec_id")
+        scale_table("lineitem", "l_orderkey")
+        for name in ["dedup_minhash", "knn_cosine", "rle_runs_returnflag",
+                     "text_fingerprint", "dedup_simhash"]:
+            timed(f"q_{name}@{BIG_MULT}x",
+                  lambda n=name: q[n](spark, big_sf).count(), reps=2)
+
     # Scaling evidence: report only the compact headline (the full runs /
     # wall distributions live in BENCH_SCALING.json — embedding the whole
     # file here overflowed the driver's tail capture in round 2).

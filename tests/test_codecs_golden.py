@@ -69,3 +69,65 @@ def test_hybrid_mixed_stream():
            + varint.encode((1 << 1) | 1) + bytes([136, 198, 250]))
     out = rle.decode(buf, 3, 17)
     assert out.tolist() == [7] * 9 + [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_deflated_page_wrapper_roundtrip():
+    """Round-5 second-order wrap: DEFLATED envelopes decode through
+    every page decoder transparently, keep the inner header's
+    kind/count/raw_size visible, refuse corruption, and are only
+    applied when they actually win."""
+    import zlib
+
+    import numpy as np
+
+    from tokencodec import codecs, pageformat
+
+    # skewed ints: bitpack leaves distribution slack -> deflate wins
+    rng = np.random.default_rng(5)
+    v = rng.zipf(1.6, 20000).astype(np.int64) % 50021
+    page = pageformat.encode_int_page(v, pageformat.KIND_INT32)
+    wrapped = pageformat.maybe_deflate(page)
+    h = pageformat.read_header(wrapped)
+    assert h["codec"] == codecs.DEFLATED and len(wrapped) < len(page)
+    assert h["n_values"] == len(v)
+    assert h["raw_size"] == pageformat.read_header(page)["raw_size"]
+    assert np.array_equal(pageformat.decode_int_page(wrapped), v)
+
+    # incompressible page passes through unwrapped
+    rnd = rng.integers(0, 1 << 31, 4096, dtype=np.int64)
+    p2 = pageformat.encode_int_page(rnd, pageformat.KIND_INT32)
+    assert pageformat.maybe_deflate(p2) is p2
+
+    # string pages unwrap through decode_string_page
+    words = [f"token-{i % 97:05d}" for i in range(5000)]
+    data = "".join(words).encode()
+    off = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum([len(w) for w in words], out=off[1:])
+    sp = pageformat.maybe_deflate(pageformat.encode_string_page(
+        off, np.frombuffer(data, np.uint8)))
+    assert pageformat.read_header(sp)["codec"] == codecs.DEFLATED
+    o2, d2 = pageformat.decode_string_page(sp)
+    assert np.array_equal(o2, off) and bytes(d2) == data
+
+    # float pages unwrap through decode_float_page
+    f = (rng.integers(0, 1000, 8192).astype(np.float32) / 128).astype(np.float32)
+    fp = pageformat.maybe_deflate(pageformat.encode_float_page(f))
+    assert np.array_equal(
+        pageformat.decode_float_page(fp).view(np.uint32), f.view(np.uint32))
+
+    # corruption inside the compressed payload is caught by the CRC
+    bad = bytearray(wrapped)
+    bad[pageformat.HEADER_SIZE + 7] ^= 0xFF
+    try:
+        pageformat.decode_int_page(bytes(bad))
+        raise AssertionError("corrupt deflated page decoded")
+    except ValueError as e:
+        assert "crc" in str(e)
+
+    # grouped pages wrapped at chunk assembly decode transparently
+    from tokencodec import grouped
+    lens = np.full(50, 400, dtype=np.int64)
+    gv = np.concatenate([np.arange(400) + i * 7 for i in range(50)])
+    gp = grouped.encode_tokens_column(gv, lens)
+    gw = pageformat.maybe_deflate(gp)
+    assert np.array_equal(grouped.decode_tokens_column(gw), gv)

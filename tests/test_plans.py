@@ -80,3 +80,22 @@ def test_decode_packed_plan_prunes_columns(spark, tmp_path):
     assert "page_tokens" in read_schema
     for unused in ("chunk_uid", "doc_id_min", "enc_bytes"):
         assert unused not in read_schema, read_schema
+
+
+def test_pack_sequences_plan_has_no_global_window(spark):
+    """Sequence packing's prefix sum must stay distributed: every
+    windowspecdefinition in the plan is PARTITIONED by the
+    deterministic range pid (the two-phase scan), never an
+    unpartitioned global-order Window that would collapse the table
+    into one task."""
+    import re
+
+    from tokencodec.spark import packing
+
+    df = synth.token_table(spark, 200, seed=31)
+    plan = _formatted(packing.pack_sequences(df, 512), spark)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected the per-pid cumsum Window"
+    for spec in specs:
+        assert re.match(r"windowspecdefinition\(_pid#\d+, ", spec), \
+            f"unpartitioned Window in pack plan: {spec}"

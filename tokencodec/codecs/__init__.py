@@ -12,6 +12,7 @@ DELTA = 5
 FSST = 6
 CONSTANT = 7  # degenerate single-value page (header-only)
 GROUPED = 8  # per-document class groups, one sub-page each (grouped.py)
+DEFLATED = 9  # second-order wrapper: zlib over a complete inner page
 # 10 is NESTED (registered by tokencodec/nested.py to keep this package
 # Spark/pyarrow-free)
 FPSHUF = 11  # float byte-plane shuffle (Blosc-style transpose)
@@ -27,6 +28,7 @@ CODEC_NAMES = {
     FSST: "fsst",
     CONSTANT: "constant",
     GROUPED: "grouped",
+    DEFLATED: "deflated",
     FPSHUF: "fpshuf",
     ALP: "alp",
 }

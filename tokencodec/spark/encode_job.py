@@ -82,10 +82,11 @@ def encode_extra_page(arr, spark_type: str) -> bytes:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         o, d = _str_buffers(arr.cast(pa.string()))
-        return pageformat.encode_string_page(o, d)
+        return pageformat.maybe_deflate(pageformat.encode_string_page(o, d))
     vals = (arr if isinstance(arr, np.ndarray)
             else arr.to_numpy(zero_copy_only=False)).astype(np.int64)
-    return pageformat.encode_int_page(vals, _EXTRA_KINDS[spark_type])
+    return pageformat.maybe_deflate(
+        pageformat.encode_int_page(vals, _EXTRA_KINDS[spark_type]))
 
 
 def _encode_chunk(bucket: int, salt: int, seq: int,
@@ -103,6 +104,10 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
     p_src = pageformat.encode_string_page(so, sd)
     heads = [pageformat.read_header(p) for p in (p_tokens, p_doc, p_ntok, p_src)]
     raw = sum(h["raw_size"] for h in heads)
+    # second-order DEFLATE wrap at final assembly (codec names below
+    # keep reporting the INNER codec — the model that shaped the page)
+    p_tokens, p_doc, p_ntok, p_src = (
+        pageformat.maybe_deflate(p) for p in (p_tokens, p_doc, p_ntok, p_src))
     enc = sum(len(p) for p in (p_tokens, p_doc, p_ntok, p_src))
     if extras:
         raw += sum(pageformat.read_header(p)["raw_size"]

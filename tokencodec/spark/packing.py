@@ -65,10 +65,21 @@ def _range_pid_expr(df: DataFrame, n_partitions: int,
     evaluates it. O(bounds) string compares per row, JVM-side."""
     if n_partitions <= 1:
         return F.lit(0)
-    ids = sorted(set(
-        r[0] for r in df.select("doc_id")
-        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
-        .collect()))
+    # geometric re-sampling: a fixed modulus under-samples tables much
+    # smaller than mod * n_partitions, which would collapse the cumsum
+    # into one partition (a degenerate global window). Densify until
+    # the sample oversamples the bound count ~4x or every key is
+    # sampled — each retry only happens on tables small enough that
+    # rescanning the key column is cheap by construction.
+    mod = max(1, sample_mod)
+    while True:
+        ids = sorted(set(
+            r[0] for r in df.select("doc_id")
+            .filter(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == 0)
+            .collect()))
+        if len(ids) >= 4 * (n_partitions - 1) or mod == 1:
+            break
+        mod = max(1, mod // 16)
     if len(ids) > n_partitions - 1:
         stride = len(ids) / n_partitions
         picked = []

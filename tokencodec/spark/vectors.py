@@ -68,6 +68,9 @@ def _encode_vec_chunk(seq: int, part: int, ids: np.ndarray,
     p_emb = pageformat.encode_float_page(values)
     p_lab = pageformat.encode_int_page(labels, pageformat.KIND_INT32)
     heads = [pageformat.read_header(p) for p in (p_id, p_emb, p_lab)]
+    # second-order DEFLATE wrap (codec names keep the inner model)
+    p_id, p_emb, p_lab = (pageformat.maybe_deflate(p)
+                          for p in (p_id, p_emb, p_lab))
     return {
         "chunk_seq": seq,
         # group-prefixed: appended batches (fresh group names) can never
