@@ -44,6 +44,11 @@ def test_extras_roundtrip_single_commit(spark, tmp_path):
     want = df.select("doc_id", "lang")
     assert proj.exceptAll(want).count() == 0
     assert want.exceptAll(proj).count() == 0
+    # extras-ONLY projection (edge: chunk row count must still resolve)
+    only = decode_job.decode(spark, root, columns=["lang"])
+    assert only.columns == ["lang"]
+    assert only.count() == df.count()
+    assert only.exceptAll(df.select("lang")).count() == 0
 
 
 def test_add_column_null_backfill(spark, tmp_path):
@@ -162,3 +167,20 @@ def test_compact_passes_extras_through(spark, tmp_path):
     out = decode_job.decode(spark, root)
     assert decode_job.audit(df, out, strict=True) == {
         "missing": 0, "extra": 0, "ok": True}
+
+
+def test_fsck_validates_extra_pages(spark, tmp_path):
+    """fsck reconciles enc/raw metrics INCLUDING extra pages (they
+    count into the chunk metrics) and CRC-checks each extra page."""
+    root = str(tmp_path / "enc")
+    df = _with_extras(synth.token_table(spark, 150, seed=69)).cache()
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=4,
+                      direct_write=True)
+    from pyspark.sql import functions as F
+
+    from tokencodec.spark import fsck
+    rep = fsck.fsck(spark, root).cache()
+    bad = rep.filter(~F.col("ok")).collect()
+    assert not bad, bad[:3]
+    # 4 core pages + 2 extra pages checked per chunk
+    assert rep.agg(F.min("crc_checked")).collect()[0][0] == 6

@@ -67,11 +67,22 @@ def wrap_grouped(payload: bytes, n_values: int) -> bytes:
 # the table: bitpacked zipf-ish token ids spend max-bits on every
 # value. One DEFLATE pass over the complete inner page captures that
 # (measured on the bench corpus: grouped pages x0.89, delta x0.43,
-# whole-table ratio 0.230 -> 0.195). Kept only when it wins >= 5% so
-# cold pages never pay the inflate on decode.
+# whole-table ratio 0.230 -> 0.200). Kept only when it wins >= 5% so
+# cold pages never pay the inflate on decode. Level 1 is the measured
+# sweet spot (586M-token interleaved A/B, BASELINE.md): +14% encode
+# wall for -13% bytes, vs level 6's +28% for only 0.8% more; the
+# TOKENCODEC_DEFLATE=0 env kill-switch serves encode-CPU-bound
+# deployments (decode reads wrapped pages regardless).
 _DEFLATE_MIN_BYTES = 128
 _DEFLATE_GAIN = 0.95
-_DEFLATE_LEVEL = 6
+_DEFLATE_LEVEL = 1
+
+
+def _deflate_enabled() -> bool:
+    # operational kill-switch for encode-CPU-bound deployments (decode
+    # always understands wrapped pages regardless of this setting)
+    import os
+    return os.environ.get("TOKENCODEC_DEFLATE", "1") not in ("0", "false")
 
 
 def maybe_deflate(page: bytes) -> bytes:
@@ -81,7 +92,7 @@ def maybe_deflate(page: bytes) -> bytes:
     bytes depend on the zlib build — identical within an environment
     (what chunk-byte invariance tests rely on); decode is portable
     regardless."""
-    if len(page) < _DEFLATE_MIN_BYTES:
+    if len(page) < _DEFLATE_MIN_BYTES or not _deflate_enabled():
         return page
     h = read_header(page)
     z = zlib.compress(bytes(page), _DEFLATE_LEVEL)

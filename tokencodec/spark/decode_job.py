@@ -421,6 +421,10 @@ def decode(spark: SparkSession, root: str,
     # columns needed internally for row-level re-filters and for legacy
     # split-group keys; decoded if missing, dropped again at the end
     cols = [c for c in req if c in ALL_COLUMNS]
+    if extras and not cols:
+        # an extras-only projection still needs one core page for the
+        # chunk row count (NULL back-fill length on pre-column chunks)
+        cols = ["doc_id"]
     if sources is not None and "source" not in cols:
         cols = cols + ["source"]
     if (n_tok_min is not None or n_tok_max is not None) and "n_tok" not in cols:

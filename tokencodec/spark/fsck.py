@@ -26,7 +26,8 @@ REPORT_DDL = ("chunk_uid string, ok boolean, error string, "
               "n_rows int, n_tokens bigint, crc_checked int")
 
 _COLS = ["chunk_uid", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
-         "page_tokens", "page_doc_id", "page_n_tok", "page_source"]
+         "page_tokens", "page_doc_id", "page_n_tok", "page_source",
+         "extra_pages"]
 
 
 def _check_chunk(row: dict) -> tuple[bool, str, int]:
@@ -41,6 +42,19 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
         checked += 1
         so, _ = pageformat.decode_string_page(row["page_source"])
         checked += 1
+        # schema-evolution extra pages: CRC + per-row count, and their
+        # bytes participate in the enc/raw metric reconciliation
+        extras = dict(row.get("extra_pages") or {})
+        for name, page in extras.items():
+            if pageformat.read_header(page)["kind"] == pageformat.KIND_STRING:
+                eo, _ = pageformat.decode_string_page(page)
+                n_vals = len(eo) - 1
+            else:
+                n_vals = len(pageformat.decode_int_page(page))
+            checked += 1
+            if n_vals != row["n_rows"]:
+                return (False, f"extra page '{name}' count {n_vals} != "
+                        f"n_rows {row['n_rows']}", checked)
         if len(ntok) != row["n_rows"]:
             return False, f"n_tok count {len(ntok)} != n_rows {row['n_rows']}", checked
         if int(ntok.sum()) != row["n_tokens"] or len(tok) != row["n_tokens"]:
@@ -48,13 +62,16 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
                     f"decoded={len(tok)} recorded={row['n_tokens']}", checked)
         if len(do) - 1 != row["n_rows"] or len(so) - 1 != row["n_rows"]:
             return False, "string page row-count mismatch", checked
-        enc = sum(len(row[p]) for p in ("page_tokens", "page_doc_id",
-                                        "page_n_tok", "page_source"))
+        enc = (sum(len(row[p]) for p in ("page_tokens", "page_doc_id",
+                                         "page_n_tok", "page_source"))
+               + sum(len(p) for p in extras.values()))
         if enc != row["enc_bytes"]:
             return False, f"enc_bytes metric {row['enc_bytes']} != pages {enc}", checked
-        raw = sum(pageformat.read_header(row[p])["raw_size"]
-                  for p in ("page_tokens", "page_doc_id",
-                            "page_n_tok", "page_source"))
+        raw = (sum(pageformat.read_header(row[p])["raw_size"]
+                   for p in ("page_tokens", "page_doc_id",
+                             "page_n_tok", "page_source"))
+               + sum(pageformat.read_header(p)["raw_size"]
+                     for p in extras.values()))
         if raw != row["raw_bytes"]:
             return False, f"raw_bytes metric {row['raw_bytes']} != headers {raw}", checked
         if h_tok["n_values"] != row["n_tokens"]:
