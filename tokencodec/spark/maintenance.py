@@ -48,15 +48,13 @@ def _merge_batches(uid_prefix: str):
     Buffers one (bucket, salt, gid) merge group at a time; groups are
     budget-bounded by construction, so memory stays bounded.
 
-    NOTE: _resplit_batches (below) and decode_job.make_stitch_batches
-    share this sorted-group-accumulate shape but differ on purpose —
-    merge re-encodes whole chunks (grouped token page decode), resplit
-    re-slices one doc per group, stitch emits decoded rows with a
-    byte-budget flush. A fix to the group-boundary handling in one
-    likely applies to all three."""
+    The batch/view/key-extraction plumbing all four sorted-row kernels
+    (merge, resplit, stitch, decode) previously re-implemented lives in
+    decode_job.iter_page_rows since round 5 — only the accumulate/flush
+    policies (the parts that genuinely differ) remain per kernel."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from tokencodec.spark.decode_job import _binary_views, _string_array
+        from tokencodec.spark.decode_job import _string_array, iter_page_rows
         from tokencodec.spark.encode_job import _rows_to_batch
 
         cur_key = None
@@ -78,29 +76,19 @@ def _merge_batches(uid_prefix: str):
                 uid_prefix=uid_prefix))
             doc_ids, sources, toks, ntoks = [], [], [], []
 
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            idx = {n: i for i, n in enumerate(batch.schema.names)}
-            views = {c: _binary_views(batch.column(idx[c])) for c in _PAGE_COLS}
-            bks = batch.column(idx["bucket"])
-            sls = batch.column(idx["salt"])
-            gds = batch.column(idx["gid"])
-            for r in range(batch.num_rows):
-                key = (bks[r].as_py(), sls[r].as_py(), gds[r].as_py())
-                if key != cur_key:
-                    flush()
-                    cur_key = key
-                    if len(rows) >= 4:  # emit early: bounded memory
-                        yield _rows_to_batch(rows)
-                        rows.clear()
-                pages = {c: data[off[r]:off[r + 1]]
-                         for c, (off, data) in views.items()}
-                toks.append(grouped.decode_tokens_column(pages["page_tokens"]))
-                ntoks.append(pageformat.decode_int_page(pages["page_n_tok"])
-                             .astype(np.int64))
-                doc_ids.append(_string_array(pages["page_doc_id"]))
-                sources.append(_string_array(pages["page_source"]))
+        for key, pages, _ in iter_page_rows(it, _PAGE_COLS,
+                                            key_cols=("bucket", "salt", "gid")):
+            if key != cur_key:
+                flush()
+                cur_key = key
+                if len(rows) >= 4:  # emit early: bounded memory
+                    yield _rows_to_batch(rows)
+                    rows.clear()
+            toks.append(grouped.decode_tokens_column(pages["page_tokens"]))
+            ntoks.append(pageformat.decode_int_page(pages["page_n_tok"])
+                         .astype(np.int64))
+            doc_ids.append(_string_array(pages["page_doc_id"]))
+            sources.append(_string_array(pages["page_source"]))
         flush()
         if rows:
             yield _rows_to_batch(rows)
@@ -118,7 +106,7 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
     chunks can never collide with each other or with merge output."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from tokencodec.spark.decode_job import _binary_views, _string_array
+        from tokencodec.spark.decode_job import _string_array, iter_page_rows
         from tokencodec.spark.encode_job import _rows_to_batch
 
         cur = None  # (sgrp, bucket, salt)
@@ -148,28 +136,18 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
                 rows.append(row)
             vals, doc_id, source = [], None, None
 
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            idx = {n: i for i, n in enumerate(batch.schema.names)}
-            views = {c: _binary_views(batch.column(idx[c])) for c in _PAGE_COLS}
-            grps = batch.column(idx["sgrp"])
-            bks = batch.column(idx["bucket"])
-            sls = batch.column(idx["salt"])
-            for r in range(batch.num_rows):
-                key = (grps[r].as_py(), bks[r].as_py(), sls[r].as_py())
-                if key != cur:
-                    finish()
-                    cur = key
-                    if len(rows) >= 4:
-                        yield _rows_to_batch(rows)
-                        rows.clear()
-                pages = {c: data[off[r]:off[r + 1]]
-                         for c, (off, data) in views.items()}
-                vals.append(grouped.decode_tokens_column(pages["page_tokens"]))
-                if doc_id is None:
-                    doc_id = _string_array(pages["page_doc_id"])
-                    source = _string_array(pages["page_source"])
+        for key, pages, _ in iter_page_rows(
+                it, _PAGE_COLS, key_cols=("sgrp", "bucket", "salt")):
+            if key != cur:
+                finish()
+                cur = key
+                if len(rows) >= 4:
+                    yield _rows_to_batch(rows)
+                    rows.clear()
+            vals.append(grouped.decode_tokens_column(pages["page_tokens"]))
+            if doc_id is None:
+                doc_id = _string_array(pages["page_doc_id"])
+                source = _string_array(pages["page_source"])
         finish()
         if rows:
             yield _rows_to_batch(rows)

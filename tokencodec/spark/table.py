@@ -147,9 +147,12 @@ class SnapshotTable:
         return dict(snap["groups"]) if snap else {}
 
     def data_paths(self, snapshot_id: int | None = None) -> list[str]:
+        """Paths of DATA groups — delete-manifest groups (del:*) hold
+        deleted-id parquet, not table rows, and are never data."""
         paths: list[str] = []
-        for ps in self.committed_groups(snapshot_id).values():
-            paths.extend(ps)
+        for k, ps in self.committed_groups(snapshot_id).items():
+            if not is_delete_group(k):
+                paths.extend(ps)
         return paths
 
     def snapshots(self) -> list[dict]:
