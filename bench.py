@@ -117,11 +117,17 @@ def main() -> None:
     # lands inside the first sub-second query timings
     spark.sparkContext._jvm.System.gc()
     for name in ["dedup_minhash", "knn_cosine", "rle_runs_returnflag",
-                 "text_fingerprint", "dedup_simhash"]:
+                 "text_fingerprint", "dedup_simhash", "text_decontaminate"]:
         timed(f"q_{name}", lambda n=name: q[n](spark, SF_DIR).count(), reps=4)
         built = q[name](spark, SF_DIR)
         built.count()  # absorb the first-execution cost
         timed(f"q_{name}_steady", built.count, reps=4)
+
+    # sequence packing over the bench token table (round-5 operator):
+    # distributed prefix sum + span explode + per-sequence assembly
+    from tokencodec.spark import packing
+    timed("q_pack_sequences",
+          lambda: packing.pack_sequences(df, 2048).count(), reps=2)
 
     codec_mix = {r[0]: r[1] for r in
                  pages.groupBy("tokens_codec").count().orderBy("tokens_codec").collect()}
@@ -192,7 +198,8 @@ def main() -> None:
         scale_table("embeddings", "vec_id")
         scale_table("lineitem", "l_orderkey")
         for name in ["dedup_minhash", "knn_cosine", "rle_runs_returnflag",
-                     "text_fingerprint", "dedup_simhash"]:
+                     "text_fingerprint", "dedup_simhash",
+                     "text_decontaminate"]:
             timed(f"q_{name}@{BIG_MULT}x",
                   lambda n=name: q[n](spark, big_sf).count(), reps=2)
 

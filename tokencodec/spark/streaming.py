@@ -32,7 +32,13 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
                   max_chunk_tokens: int = part.MAX_CHUNK_TOKENS) -> None:
     """Encode all new files in ``source_dir`` (parquet, input_hint
     schema) into ``out_root``, one snapshot commit per micro-batch.
-    Runs with availableNow and blocks until caught up."""
+    Runs with availableNow and blocks until caught up.
+
+    Core-schema only by contract: the stream reads exactly
+    (doc_id, tokens, n_tok, source) — schema-evolution extra columns
+    in the source files are not ingested on this path (batch
+    ``encode`` handles them); the fixed readStream schema makes that
+    explicit rather than silent."""
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(out_root, "_stream_checkpoint")
     tbl = SnapshotTable(out_root)
