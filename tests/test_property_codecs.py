@@ -93,3 +93,55 @@ def test_nested_tree_roundtrip(shape, data):
     out = nested.decode_nested_page(nested.encode_nested_page(arr))
     assert out.type == arr.type
     assert out.equals(arr), f"\nin : {arr}\nout: {out}"
+
+
+# ------------------------------------------------------- nullable extra pages
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(1 << 40), 1 << 40)),
+                min_size=0, max_size=300))
+def test_nullable_int_extra_page_roundtrip(xs):
+    """Arbitrary NULL patterns (all-null, none-null, alternating) in an
+    extra column round-trip through the NULLABLE validity wrap."""
+    import pyarrow as pa
+    from tokencodec.spark.decode_job import _extra_array
+    from tokencodec.spark.encode_job import encode_extra_page
+    arr = pa.array(xs, pa.int64())
+    page = encode_extra_page(arr, "bigint")
+    out = _extra_array(page, "bigint", len(xs))
+    assert out.to_pylist() == xs
+    # dense input must NOT pay for the wrapper
+    if arr.null_count == 0:
+        assert pageformat.read_header(page)["codec"] != codecs.NULLABLE
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=12)),
+                min_size=0, max_size=200))
+def test_nullable_string_extra_page_roundtrip(xs):
+    import pyarrow as pa
+    from tokencodec.spark.decode_job import _extra_array
+    from tokencodec.spark.encode_job import encode_extra_page
+    arr = pa.array(xs, pa.string())
+    page = encode_extra_page(arr, "string")
+    assert _extra_array(page, "string", len(xs)).to_pylist() == xs
+
+
+def test_nullable_page_crc_and_mismatch():
+    import pytest
+    import numpy as np
+    inner = pageformat.encode_int_page(np.array([1, 2, 3], np.int64),
+                                       pageformat.KIND_INT32)
+    validity = np.array([True, False, True, False, True])
+    page = pageformat.wrap_nullable(inner, validity)
+    v, i = pageformat.unwrap_nullable(page)
+    np.testing.assert_array_equal(v, validity)
+    assert bytes(i) == inner
+    # a flipped payload byte must fail the wrapper CRC
+    bad = bytearray(page)
+    bad[pageformat.HEADER_SIZE] ^= 0xFF
+    with pytest.raises(ValueError, match="crc mismatch"):
+        pageformat.unwrap_nullable(bytes(bad))
+    # wrapping with a validity count that disagrees with the inner page
+    with pytest.raises(ValueError, match="validity bits"):
+        pageformat.wrap_nullable(inner, np.array([True, True]))

@@ -158,15 +158,120 @@ def test_purge_preserves_extras(spark, tmp_path):
         "missing": 0, "extra": 0, "ok": True}
 
 
-def test_compact_passes_extras_through(spark, tmp_path):
+def test_compact_merges_extras(spark, tmp_path):
+    """Extra-bearing chunks MERGE under compaction (round-5's
+    pass-through limitation closed): under-filled chunks carrying
+    (lang, score) pages re-encode into budget-filled chunks with the
+    extras concatenated, and split-doc parts rechunk with their pages
+    copied verbatim."""
     root = str(tmp_path / "enc")
     df = _with_extras(synth.token_table(spark, 200, seed=68)).cache()
     encode_job.encode(spark, df, root, commit_groups=1, n_salts=4,
                       max_chunk_tokens=512, direct_write=True)
-    maintenance.compact(spark, root, max_chunk_tokens=4096)
+    before = encode_job.read_pages(spark, root).count()
+    snap = maintenance.compact(spark, root, max_chunk_tokens=4096)
+    after = encode_job.read_pages(spark, root).count()
+    assert after < before  # extra-bearing chunks actually merged
+    assert snap["metrics"]["n_chunks"] == after
     out = decode_job.decode(spark, root)
     assert decode_job.audit(df, out, strict=True) == {
         "missing": 0, "extra": 0, "ok": True}
+    from tokencodec.spark import fsck
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+
+
+def test_compact_merges_mixed_era_chunks(spark, tmp_path):
+    """A merge group spanning a pre-column commit and a post-column
+    commit back-fills NULLs for the old rows INSIDE the merged page
+    (NULLABLE validity wrap) — decode must be indistinguishable from
+    the unmerged layout."""
+    root = str(tmp_path / "enc")
+    base = synth.token_table(spark, 240, seed=70).cache()
+    half1 = base.filter(F.crc32("doc_id") % 2 == 0).cache()
+    half2 = _with_extras(base.filter(F.crc32("doc_id") % 2 == 1)).cache()
+    encode_job.encode(spark, half1, root, commit_groups=1, n_salts=2,
+                      max_chunk_tokens=2048, direct_write=True)
+    encode_job.encode(spark, half2, root, commit_groups=1, n_salts=2,
+                      max_chunk_tokens=2048, direct_write=True,
+                      group_prefix="v2g")
+    pre = decode_job.decode(spark, root).cache()
+    pre_rows = pre.collect()
+    before = encode_job.read_pages(spark, root).count()
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 20)
+    assert encode_job.read_pages(spark, root).count() < before
+    post = decode_job.decode(spark, root).cache()
+    assert post.count() == len(pre_rows)
+    assert post.exceptAll(pre).count() == 0
+    assert pre.exceptAll(post).count() == 0
+    # old-era rows stay NULL, new-era rows keep their values
+    assert post.join(half1.select("doc_id"), "doc_id").filter(
+        F.col("lang").isNotNull() | F.col("score").isNotNull()).count() == 0
+    want = half2.select("doc_id", F.col("lang").alias("wl"),
+                        F.col("score").alias("ws"))
+    got = post.join(want, "doc_id")
+    assert got.filter((F.col("lang") != F.col("wl"))
+                      | (F.col("score") != F.col("ws"))).count() == 0
+    from tokencodec.spark import fsck
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+
+
+def test_nullable_extras_roundtrip(spark, tmp_path):
+    """NULLs in a source extra column are legal (the core contract
+    stays non-null): they page-encode under a NULLABLE validity wrap
+    and decode bit-identically, through purge too."""
+    root = str(tmp_path / "enc")
+    df = (synth.token_table(spark, 150, seed=71)
+          .withColumn("lang", F.when(F.col("n_tok") % 3 == 0,
+                                     F.concat(F.lit("L"),
+                                              (F.col("n_tok") % 5)
+                                              .cast("string"))))
+          .withColumn("score", F.when(F.col("n_tok") % 2 == 0,
+                                      (F.col("n_tok") * 3).cast("int")))
+          .cache())
+    assert df.filter(F.col("lang").isNull()).count() > 0
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=4,
+                      direct_write=True)
+    out = decode_job.decode(spark, root)
+    assert decode_job.audit(df, out, strict=True) == {
+        "missing": 0, "extra": 0, "ok": True}
+    from tokencodec.spark import fsck
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+    # takedown on a nullable-extra table keeps the null slots aligned
+    doomed = [r[0] for r in df.select("doc_id").orderBy("doc_id")
+              .limit(5).collect()]
+    maintenance.delete_docs(spark, root, doomed)
+    maintenance.purge_deletes(spark, root)
+    survivors = df.filter(~F.col("doc_id").isin(doomed))
+    assert decode_job.audit(survivors, decode_job.decode(spark, root),
+                            strict=True) == {
+        "missing": 0, "extra": 0, "ok": True}
+
+
+def test_streaming_commit_keeps_extra_chain(spark, tmp_path):
+    """A core-schema streaming micro-batch appended to an evolved table
+    must CARRY the cumulative extra-schema chain in its commit metrics
+    — dropping it would push readers onto the chain-walk fallback and
+    lose the declarations once the declaring commits expire."""
+    import os
+
+    from tokencodec.spark import streaming
+    from tokencodec.spark.table import SnapshotTable
+    root = str(tmp_path / "enc")
+    df = _with_extras(synth.token_table(spark, 80, seed=72)).cache()
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=2,
+                      direct_write=True)
+    src = str(tmp_path / "stream_src")
+    (synth.token_table(spark, 40, seed=73)
+     .write.mode("overwrite").parquet(src))
+    streaming.encode_stream(
+        spark, src, root, checkpoint_dir=str(tmp_path / "ckpt"))
+    snap = SnapshotTable(root).current_snapshot()
+    assert snap["metrics"]["extra_schema_chain"] == {
+        "lang": "string", "score": "int"}
+    assert table_extra_schema(root) == {"lang": "string", "score": "int"}
+    out = decode_job.decode(spark, root)
+    assert out.count() == 120
+    assert set(out.columns) >= {"lang", "score"}
 
 
 def test_fsck_validates_extra_pages(spark, tmp_path):

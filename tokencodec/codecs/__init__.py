@@ -17,6 +17,7 @@ DEFLATED = 9  # second-order wrapper: zlib over a complete inner page
 # Spark/pyarrow-free)
 FPSHUF = 11  # float byte-plane shuffle (Blosc-style transpose)
 ALP = 12  # float decimal packing as int64 page + power-of-ten exponent
+NULLABLE = 13  # validity-bitmap wrapper: bitmap + inner page of non-nulls
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -31,5 +32,6 @@ CODEC_NAMES = {
     DEFLATED: "deflated",
     FPSHUF: "fpshuf",
     ALP: "alp",
+    NULLABLE: "nullable",
 }
 NAME_TO_CODEC = {v: k for k, v in CODEC_NAMES.items()}

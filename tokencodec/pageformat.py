@@ -113,6 +113,45 @@ def _inflate(buf: bytes | memoryview, check_crc: bool) -> bytes:
     return zlib.decompress(mv)
 
 
+# NULLABLE wrapper (schema-evolution extra columns): Arrow-style
+# validity bitmap (LSB-first, 1 = present) followed by a complete inner
+# page holding ONLY the present values. Dense columns skip the wrapper
+# entirely — it appears on disk only when a chunk actually holds NULLs
+# (nullable source extras, or compaction merging a pre-column chunk
+# into a post-column one). Header n_values is the LOGICAL row count;
+# kind mirrors the inner page so readers can dispatch without
+# unwrapping.
+
+def wrap_nullable(inner: bytes, validity: np.ndarray) -> bytes:
+    h = read_header(inner)
+    if h["n_values"] != int(validity.sum()):
+        raise ValueError(
+            f"inner page holds {h['n_values']} values for "
+            f"{int(validity.sum())} set validity bits")
+    bitmap = np.packbits(validity.astype(bool), bitorder="little").tobytes()
+    payload = bitmap + inner
+    return _wrap(codecs.NULLABLE, h["kind"], 0, len(validity), 0,
+                 h["raw_size"] + len(bitmap), payload)
+
+
+def unwrap_nullable(buf: bytes | memoryview,
+                    check_crc: bool = True) -> tuple[np.ndarray, bytes]:
+    """-> (validity bool array of logical length, inner page bytes)."""
+    h = read_header(buf)
+    if h["codec"] != codecs.NULLABLE:
+        raise ValueError(f"not a NULLABLE page (codec {h['codec']})")
+    mv = memoryview(buf)[HEADER_SIZE:HEADER_SIZE + h["payload_len"]]
+    if len(mv) != h["payload_len"]:
+        raise ValueError("truncated page payload")
+    if check_crc and zlib.crc32(mv) != h["crc"]:
+        raise ValueError("page crc mismatch")
+    n = h["n_values"]
+    nb = (n + 7) // 8
+    validity = np.unpackbits(np.frombuffer(mv[:nb], np.uint8),
+                             bitorder="little", count=n).astype(bool)
+    return validity, bytes(mv[nb:])
+
+
 # ---------------------------------------------------------------- int pages
 
 def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,

@@ -142,15 +142,49 @@ def _extra_array(page, spark_type: str, n: int) -> pa.Array:
     """Decode one extra-column page to ``n`` values; a missing page
     (chunk predates the column) back-fills NULLs. Int pages decode at
     their recorded width and cast to the DECLARED width — how an int
-    column widened to bigint reads int32-era chunks."""
+    column widened to bigint reads int32-era chunks. NULLABLE-wrapped
+    pages (nullable source extras / merged mixed-era chunks) decode the
+    present values and scatter them under the validity bitmap."""
+    from tokencodec import codecs
     if page is None:
         return pa.nulls(n, _EXTRA_PA[spark_type])
+    h = pageformat.read_header(page)
+    if h["codec"] == codecs.DEFLATED:
+        # unwrap the entropy envelope here so the NULLABLE check below
+        # sees the real codec (the value decoders would also unwrap it,
+        # but only for non-wrapped pages)
+        page = pageformat._inflate(page, True)
+        h = pageformat.read_header(page)
+    if h["codec"] == codecs.NULLABLE:
+        validity, inner = pageformat.unwrap_nullable(page)
+        present = _extra_array(inner, spark_type, int(validity.sum()))
+        pos = np.cumsum(validity) - 1
+        idx = pa.array(pos, type=pa.int64(), mask=~validity)
+        return present.take(idx)
     if spark_type == "string":
         return _string_array(page)
     v = pageformat.decode_int_page(page)
     return pa.array(v.astype(np.int64 if spark_type == "bigint"
                              else np.int32, copy=False),
                     type=_EXTRA_PA[spark_type])
+
+
+_KIND_TYPE = {pageformat.KIND_INT32: "int", pageformat.KIND_INT64: "bigint",
+              pageformat.KIND_STRING: "string"}
+
+
+def decode_extra_page(page) -> pa.Array:
+    """Decode an extra-column page at its RECORDED kind — for callers
+    that need no declared schema (fsck integrity checks, maintenance
+    kernels re-encoding surviving rows). Wrapper kinds pass through
+    DEFLATED/NULLABLE envelopes unchanged, so the recorded kind is
+    always the value kind."""
+    kind = pageformat.read_header(page)["kind"]
+    return _extra_array(page, _KIND_TYPE[kind], 0)
+
+
+def spark_type_of_extra_page(page) -> str:
+    return _KIND_TYPE[pageformat.read_header(page)["kind"]]
 
 
 def make_decode_batches(packed: bool = False, cols: list[str] | None = None,

@@ -77,16 +77,27 @@ def encode_extra_page(arr, spark_type: str) -> bytes:
     string-page codecs, ints through the int-page codecs at the declared
     width (int -> INT32 pages, bigint -> INT64 pages — the width is in
     the page header, which is how decode widens int chunks under a
-    later bigint declaration)."""
-    if spark_type == "string":
+    later bigint declaration). Arrays carrying NULLs (nullable source
+    extras, or compaction merging a pre-column chunk into a post-column
+    one) encode the non-null values and a NULLABLE validity wrap —
+    dense columns never pay for the bitmap."""
+    validity = None
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if arr.null_count:
+            validity = arr.is_valid().to_numpy(zero_copy_only=False)
+            arr = arr.drop_null()
+    if spark_type == "string":
         o, d = _str_buffers(arr.cast(pa.string()))
-        return pageformat.maybe_deflate(pageformat.encode_string_page(o, d))
-    vals = (arr if isinstance(arr, np.ndarray)
-            else arr.to_numpy(zero_copy_only=False)).astype(np.int64)
-    return pageformat.maybe_deflate(
-        pageformat.encode_int_page(vals, _EXTRA_KINDS[spark_type]))
+        page = pageformat.encode_string_page(o, d)
+    else:
+        vals = (arr if isinstance(arr, np.ndarray)
+                else arr.to_numpy(zero_copy_only=False)).astype(np.int64)
+        page = pageformat.encode_int_page(vals, _EXTRA_KINDS[spark_type])
+    if validity is not None:
+        page = pageformat.wrap_nullable(page, validity)
+    return pageformat.maybe_deflate(page)
 
 
 def _encode_chunk(bucket: int, salt: int, seq: int,
@@ -254,11 +265,15 @@ def make_encoder(max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
         for batch in it:
             if batch.num_rows == 0:
                 continue
+            ext_names = {n for n, _ in extra_cols}
             for i, name in enumerate(batch.schema.names):
-                if batch.column(i).null_count:
+                if batch.column(i).null_count and name not in ext_names:
                     # input contract (BASELINE.json input_hint): doc_id,
                     # tokens (non-null elements), n_tok, source are all
-                    # non-null — fail fast instead of silently coercing
+                    # non-null — fail fast instead of silently coercing.
+                    # Schema-evolution extras are exempt: NULLs there
+                    # are legitimate and page-encoded with a validity
+                    # wrap (encode_extra_page)
                     raise ValueError(
                         f"null values in column '{name}': the token-table "
                         "input contract requires non-null "

@@ -20,6 +20,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from tokencodec import pageformat
+from tokencodec.spark.decode_job import decode_extra_page
 from tokencodec.spark.encode_job import read_pages
 
 REPORT_DDL = ("chunk_uid string, ok boolean, error string, "
@@ -46,11 +47,11 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
         # bytes participate in the enc/raw metric reconciliation
         extras = dict(row.get("extra_pages") or {})
         for name, page in extras.items():
-            if pageformat.read_header(page)["kind"] == pageformat.KIND_STRING:
-                eo, _ = pageformat.decode_string_page(page)
-                n_vals = len(eo) - 1
-            else:
-                n_vals = len(pageformat.decode_int_page(page))
+            # full decode through every wrapper layer (DEFLATED /
+            # NULLABLE / value codec) — CRCs verify at each layer; the
+            # declared width is irrelevant to integrity, so decode at
+            # the recorded kind
+            n_vals = len(decode_extra_page(page))
             checked += 1
             if n_vals != row["n_rows"]:
                 return (False, f"extra page '{name}' count {n_vals} != "

@@ -43,10 +43,20 @@ from tokencodec.spark.table import SnapshotTable, is_delete_group
 _PAGE_COLS = ["page_tokens", "page_doc_id", "page_n_tok", "page_source"]
 
 
-def _merge_batches(uid_prefix: str):
+def _merge_batches(uid_prefix: str, extras: tuple = ()):
     """mapInArrow: co-partitioned mergeable chunks -> re-encoded chunks.
     Buffers one (bucket, salt, gid) merge group at a time; groups are
     budget-bounded by construction, so memory stays bounded.
+
+    ``extras`` is the table's declared extra-column schema (sorted
+    (name, type) pairs). Extra-bearing chunks merge like any other
+    (round-5's pass-through limitation closed): each chunk's extra
+    pages decode at their recorded width, chunks predating a column
+    back-fill NULLs, and the merged chunk re-encodes at the DECLARED
+    width — so a merge also converges int-era chunks onto a later
+    bigint declaration. A column no chunk in the group ever carried is
+    omitted (a missing page IS the all-null representation); mixed
+    groups get a NULLABLE validity wrap (pageformat.wrap_nullable).
 
     The batch/view/key-extraction plumbing all four sorted-row kernels
     (merge, resplit, stitch, decode) previously re-implemented lives in
@@ -54,41 +64,70 @@ def _merge_batches(uid_prefix: str):
     policies (the parts that genuinely differ) remain per kernel."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from tokencodec.spark.decode_job import _string_array, iter_page_rows
-        from tokencodec.spark.encode_job import _rows_to_batch
+        from tokencodec.spark.decode_job import (_extra_array, _string_array,
+                                                 iter_page_rows)
+        from tokencodec.spark.encode_job import (_rows_to_batch,
+                                                 encode_extra_page)
 
         cur_key = None
         doc_ids: list[pa.Array] = []
         sources: list[pa.Array] = []
         toks: list[np.ndarray] = []
         ntoks: list[np.ndarray] = []
+        ext_arrs: dict[str, list] = {n: [] for n, _ in extras}
+        ext_seen: dict[str, bool] = {n: False for n, _ in extras}
         rows: list[dict] = []
 
         def flush():
-            nonlocal doc_ids, sources, toks, ntoks
+            nonlocal doc_ids, sources, toks, ntoks, ext_arrs, ext_seen
             if not ntoks:
                 return
+            ext_out = {n: encode_extra_page(pa.concat_arrays(ext_arrs[n]), t)
+                       for n, t in extras if ext_seen[n]} or None
             rows.append(_encode_chunk(
                 cur_key[0], cur_key[1], cur_key[2],
                 pa.concat_arrays([a.cast(pa.string()) for a in doc_ids]),
                 np.concatenate(toks), np.concatenate(ntoks),
                 pa.concat_arrays([a.cast(pa.string()) for a in sources]),
-                uid_prefix=uid_prefix))
+                uid_prefix=uid_prefix, extras=ext_out))
             doc_ids, sources, toks, ntoks = [], [], [], []
+            ext_arrs = {n: [] for n, _ in extras}
+            ext_seen = {n: False for n, _ in extras}
 
-        for key, pages, _ in iter_page_rows(it, _PAGE_COLS,
-                                            key_cols=("bucket", "salt", "gid")):
+        # extra_pages is always requested (chunk-granular map scalar):
+        # even with no declared schema the kernel must SEE a stray page
+        # to refuse dropping it
+        for key, pages, sc in iter_page_rows(it, _PAGE_COLS, ("extra_pages",),
+                                             key_cols=("bucket", "salt", "gid")):
             if key != cur_key:
                 flush()
                 cur_key = key
                 if len(rows) >= 4:  # emit early: bounded memory
                     yield _rows_to_batch(rows)
                     rows.clear()
+            ntok = pageformat.decode_int_page(pages["page_n_tok"]).astype(np.int64)
             toks.append(grouped.decode_tokens_column(pages["page_tokens"]))
-            ntoks.append(pageformat.decode_int_page(pages["page_n_tok"])
-                         .astype(np.int64))
+            ntoks.append(ntok)
             doc_ids.append(_string_array(pages["page_doc_id"]))
             sources.append(_string_array(pages["page_source"]))
+            if extras or sc.get("extra_pages"):
+                m = dict(sc.get("extra_pages") or {})
+                unknown = set(m) - {n_ for n_, _ in extras}
+                if unknown:
+                    # merging would silently drop these pages — only
+                    # possible when an expired legacy chain lost the
+                    # column declaration; refuse instead of losing data
+                    raise RuntimeError(
+                        "compact: chunk carries extra page(s) "
+                        f"{sorted(unknown)} absent from the declared "
+                        "schema chain; refusing to merge (decode would "
+                        "not see them either — re-declare the column "
+                        "via encode(extra_cols=...) or purge it)")
+                for n_, t in extras:
+                    pg = m.get(n_)
+                    if pg is not None:
+                        ext_seen[n_] = True
+                    ext_arrs[n_].append(_extra_array(pg, t, len(ntok)))
         flush()
         if rows:
             yield _rows_to_batch(rows)
@@ -103,7 +142,12 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
     concatenated once (linear) and re-sliced under the NEW budget —
     one whole-doc chunk when it fits, else fewer/larger parts.
     chunk_uids derive from the (table-unique) split uid, so rewritten
-    chunks can never collide with each other or with merge output."""
+    chunks can never collide with each other or with merge output.
+
+    Schema-evolution extra pages ride along VERBATIM: every part of a
+    split group carries the same single-doc extras (encode slices one
+    oversized doc per group), so each emitted chunk copies the first
+    part's page bytes — no decode, no re-encode."""
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from tokencodec.spark.decode_job import _string_array, iter_page_rows
@@ -111,11 +155,11 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
 
         cur = None  # (sgrp, bucket, salt)
         vals: list[np.ndarray] = []
-        doc_id = source = None
+        doc_id = source = extras = None
         rows: list[dict] = []
 
         def finish():
-            nonlocal vals, doc_id, source
+            nonlocal vals, doc_id, source, extras
             if cur is None or not vals:
                 return
             sgrp, bucket, salt = cur
@@ -130,14 +174,16 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
                     doc_part=p if n_parts > 1 else 0,
                     doc_parts=n_parts,
                     uid_prefix=uid_prefix,
-                    split_uid=sgrp if n_parts > 1 else "")
+                    split_uid=sgrp if n_parts > 1 else "",
+                    extras=extras)
                 row["chunk_uid"] = (f"{uid_prefix}-r-{sgrp}-p{p}"
                                     if n_parts > 1 else f"{uid_prefix}-r-{sgrp}")
                 rows.append(row)
-            vals, doc_id, source = [], None, None
+            vals, doc_id, source, extras = [], None, None, None
 
-        for key, pages, _ in iter_page_rows(
-                it, _PAGE_COLS, key_cols=("sgrp", "bucket", "salt")):
+        for key, pages, sc in iter_page_rows(
+                it, _PAGE_COLS, ("extra_pages",),
+                key_cols=("sgrp", "bucket", "salt")):
             if key != cur:
                 finish()
                 cur = key
@@ -148,6 +194,7 @@ def _resplit_batches(uid_prefix: str, max_chunk_tokens: int):
             if doc_id is None:
                 doc_id = _string_array(pages["page_doc_id"])
                 source = _string_array(pages["page_source"])
+                extras = dict(sc["extra_pages"] or {}) or None
         finish()
         if rows:
             yield _rows_to_batch(rows)
@@ -207,22 +254,18 @@ def compact(spark: SparkSession, root: str,
                 .na.fill({"doc_parts": 1})
                 .filter(F.col("doc_parts") > 1)
                 .select(sgrp.alias("sgrp"), "n_tokens", "doc_parts",
-                        F.coalesce(F.size(F.col("extra_pages")),
-                                   F.lit(0)).alias("n_ext"),
                         F.input_file_name().alias("fname")))
         rgrps = (allm.groupBy("sgrp")
                  .agg(F.sum("n_tokens").alias("tot_tok"),
                       F.count(F.lit(1)).alias("k"),
                       F.max("doc_parts").alias("parts"),
-                      F.max("n_ext").alias("ext"),
                       F.collect_set("fname").alias("files"))
                  # only complete groups are rewritten (a partial group —
                  # corruption or concurrent surgery — passes through),
-                 # only when the new layout has FEWER parts, and never
-                 # groups carrying extra pages (resplit kernel is
-                 # core-columns-only; they pass through verbatim)
+                 # and only when the new layout has FEWER parts. Extra
+                 # pages are no obstacle: a split group is single-doc,
+                 # so the resplit kernel copies them verbatim
                  .filter((F.col("k") == F.col("parts"))
-                         & (F.col("ext") <= 0)
                          & (F.ceil(F.col("tot_tok") / F.lit(max_chunk_tokens))
                             < F.col("parts"))))
         rgrps = rgrps.cache()
@@ -273,7 +316,8 @@ def compact(spark: SparkSession, root: str,
         resplit = (with_sgrp.join(rg_keys, "sgrp")
                    .repartition("sgrp")
                    .sortWithinPartitions("sgrp", "doc_part")
-                   .select("bucket", "salt", "sgrp", *_PAGE_COLS)
+                   .select("bucket", "salt", "sgrp", "extra_pages",
+                           *_PAGE_COLS)
                    .mapInArrow(_resplit_batches(uid_prefix, max_chunk_tokens),
                                PAGES_DDL))
         pages = (pages.filter(F.col("doc_parts") == 1)
@@ -281,12 +325,13 @@ def compact(spark: SparkSession, root: str,
                               .drop("sgrp"))
                  .unionByName(resplit))
 
-    # chunks carrying schema-evolution extra pages are excluded from
-    # merging (the merge kernel re-encodes core columns only); they pass
-    # through verbatim, extras intact — a documented round-5 limitation
-    no_extras = F.coalesce(F.size(F.col("extra_pages")), F.lit(0)) <= 0
+    # the merge kernel consumes the table's declared extra-column
+    # schema, so extra-bearing chunks merge like any other (the round-5
+    # pass-through limitation is closed)
+    from tokencodec.spark.encode_job import table_extra_schema
+    extras_schema = tuple(sorted(table_extra_schema(root).items()))
     mergeable = ((F.col("doc_parts") == 1)
-                 & (F.col("n_tokens") < max_chunk_tokens // 2) & no_extras)
+                 & (F.col("n_tokens") < max_chunk_tokens // 2))
     # budget-bounded merge groups per (bucket, salt): a running token
     # sum divided by the budget. Ordered by chunk_uid — chunk_seq
     # REPEATS across commit groups / streaming batches for one (bucket,
@@ -315,8 +360,9 @@ def compact(spark: SparkSession, root: str,
     merged = (todo
               .repartition("bucket", "salt", "gid")
               .sortWithinPartitions("bucket", "salt", "gid", "chunk_uid")
-              .select("bucket", "salt", "gid", *_PAGE_COLS)
-              .mapInArrow(_merge_batches(uid_prefix), PAGES_DDL))
+              .select("bucket", "salt", "gid", "extra_pages", *_PAGE_COLS)
+              .mapInArrow(_merge_batches(uid_prefix, extras_schema),
+                          PAGES_DDL))
     # non-mergeable chunks living in selected files ride along verbatim
     # (their file is being dropped); chunks in unselected files are
     # never read or rewritten
@@ -498,21 +544,17 @@ def _purge_batches(ids: frozenset, uid_prefix: str):
                 extras_out = None
                 if ext_raw:
                     # schema-evolution extras: mask and re-encode each
-                    # page at its RECORDED kind (no schema needed)
+                    # page at its RECORDED kind (no schema needed);
+                    # decode_extra_page sees through DEFLATED/NULLABLE
+                    # wraps and take() preserves NULL slots
+                    from tokencodec.spark.decode_job import (
+                        decode_extra_page, spark_type_of_extra_page)
                     from tokencodec.spark.encode_job import encode_extra_page
-                    extras_out = {}
-                    for name, page in dict(ext_raw).items():
-                        kind = pageformat.read_header(page)["kind"]
-                        if kind == pageformat.KIND_STRING:
-                            arr = _string_array(page).take(kidx)
-                            extras_out[name] = encode_extra_page(
-                                arr, "string")
-                        else:
-                            v = pageformat.decode_int_page(page)[
-                                np.asarray(keep)]
-                            t = ("int" if kind == pageformat.KIND_INT32
-                                 else "bigint")
-                            extras_out[name] = encode_extra_page(v, t)
+                    extras_out = {
+                        name: encode_extra_page(
+                            decode_extra_page(page).take(kidx),
+                            spark_type_of_extra_page(page))
+                        for name, page in dict(ext_raw).items()}
                 row = _encode_chunk(
                     batch.column(idx["bucket"])[r].as_py(),
                     batch.column(idx["salt"])[r].as_py(),

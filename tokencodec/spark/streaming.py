@@ -22,7 +22,9 @@ from tokencodec.spark.encode_job import (META_DDL, PAGES_DDL, _COLS,
                                          _sweep_orphans,
                                          direct_write_supported,
                                          make_direct_writer, make_encoder,
-                                         next_chain_max, next_table_totals)
+                                         next_chain_max,
+                                         next_extra_schema_chain,
+                                         next_table_totals)
 from tokencodec.spark.synth import SCHEMA_DDL
 from tokencodec.spark.table import SnapshotTable
 
@@ -84,6 +86,13 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
             cmax = next_chain_max(parent, m["max_doc_parts"])
             if cmax is not None:
                 m["max_doc_parts_chain"] = cmax
+            # the stream ingests no extras, but a commit that DROPS the
+            # cumulative extra-column chain would force every later
+            # reader back onto the chain-walk fallback (and lose the
+            # declarations once the declaring commits expire)
+            esc = next_extra_schema_chain(parent, {})
+            if esc is not None:
+                m["extra_schema_chain"] = esc
             tbl.commit({key: sorted(r["file"] for r in meta)}, metrics=m)
             return
         # Hadoop-only scheme the pyarrow workers can't address: classic
@@ -110,6 +119,9 @@ def encode_stream(spark: SparkSession, source_dir: str, out_root: str,
         cmax = next_chain_max(parent, m["max_doc_parts"])
         if cmax is not None:
             m["max_doc_parts_chain"] = cmax
+        esc = next_extra_schema_chain(parent, {})
+        if esc is not None:
+            m["extra_schema_chain"] = esc
         tbl.commit({key: [run_dir]}, metrics=m)
 
     stream = (spark.readStream.schema(SCHEMA_DDL).parquet(source_dir)
