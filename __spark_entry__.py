@@ -712,11 +712,12 @@ ORDER BY stage, doc_id
 def _evo_root(spark: SparkSession, sf_dir: str) -> str:
     """A docs-derived root whose chunks span THREE schema versions
     (round-5 schema evolution): commit 1 has no extra columns, commit 2
-    adds (lang string, score int), commit 3 widens score to bigint with
-    values beyond int32."""
+    adds (lang string, score int, conf float), commit 3 widens score to
+    bigint with values beyond int32 and conf to double with values no
+    float32 can hold."""
     from tokencodec.spark import encode_job
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docsevo_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/docsevo_v2_n{n}"
     if root not in _ENGINE_CACHE:
         t = _docs_token_df(spark, sf_dir)
         num = F.substring("doc_id", 2, 18).cast("bigint")
@@ -725,11 +726,14 @@ def _evo_root(spark: SparkSession, sf_dir: str) -> str:
         encode_job.encode(spark, t.filter(num % 3 == 0), root, **kw)
         encode_job.encode(
             spark, (t.filter(num % 3 == 1).withColumn("lang", lang)
-                    .withColumn("score", (num * 3).cast("int"))),
+                    .withColumn("score", (num * 3).cast("int"))
+                    # num*0.25 is float32-exact for any doc number here
+                    .withColumn("conf", (num * F.lit(0.25)).cast("float"))),
             root, group_prefix="v2g", **kw)
         encode_job.encode(
             spark, (t.filter(num % 3 == 2).withColumn("lang", lang)
-                    .withColumn("score", num * 3 + F.lit(1 << 33))),
+                    .withColumn("score", num * 3 + F.lit(1 << 33))
+                    .withColumn("conf", num * F.lit(0.25) + F.lit(0.001))),
             root, group_prefix="v3g", **kw)
         _ENGINE_CACHE[root] = root
     return root
@@ -738,15 +742,17 @@ def _evo_root(spark: SparkSession, sf_dir: str) -> str:
 def q_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-schema-version decode under the oracle: one read over
     chunks written before a column existed (NULL back-fill), after it
-    was added as int, and after it widened to bigint — DuckDB recomputes
-    every value (and every NULL) from `documents` directly, and the
-    token md5 proves the core columns stayed bit-exact through the
-    extra-page plumbing."""
+    was added (int / float), and after it widened (int -> bigint,
+    float -> double) — DuckDB recomputes every value (and every NULL)
+    from `documents` directly, and the token md5 proves the core
+    columns stayed bit-exact through the extra-page plumbing. The
+    float-era `conf` rows prove the exact float32 -> float64 widening
+    (both engines round through REAL)."""
     from tokencodec.spark import decode_job
     out = decode_job.decode(spark, _evo_root(spark, sf_dir))
     return (out.select(
         "doc_id", F.col("n_tok").cast("bigint").alias("n_tok"), "source",
-        "lang", "score",
+        "lang", "score", "conf",
         F.md5(F.concat_ws(",", F.transform(
             "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
         .orderBy("doc_id"))
@@ -761,6 +767,11 @@ SELECT doc_id, n_tok, source,
             ELSE 'L' || CAST(num % 7 AS VARCHAR) END AS lang,
        CASE WHEN num % 3 = 1 THEN num * 3
             WHEN num % 3 = 2 THEN num * 3 + 8589934592 END AS score,
+       CASE WHEN num % 3 = 1
+            THEN CAST(CAST(num * CAST(0.25 AS DOUBLE) AS REAL) AS DOUBLE)
+            WHEN num % 3 = 2
+            THEN num * CAST(0.25 AS DOUBLE) + CAST(0.001 AS DOUBLE)
+       END AS conf,
        md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
 FROM v ORDER BY doc_id
 """

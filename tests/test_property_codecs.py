@@ -127,6 +127,26 @@ def test_nullable_string_extra_page_roundtrip(xs):
     assert _extra_array(page, "string", len(xs)).to_pylist() == xs
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.floats(allow_nan=True, width=64)),
+                min_size=0, max_size=300))
+def test_nullable_double_extra_page_roundtrip(xs):
+    """Double extra pages with arbitrary NULL patterns round-trip
+    BIT-exactly (NaN payloads, -0.0, denormals) through the NULLABLE
+    wrap + float codecs."""
+    import numpy as np
+    import pyarrow as pa
+    from tokencodec.spark.decode_job import _extra_array
+    from tokencodec.spark.encode_job import encode_extra_page
+    arr = pa.array(xs, pa.float64())
+    page = encode_extra_page(arr, "double")
+    out = _extra_array(page, "double", len(xs))
+    assert out.is_valid().to_pylist() == [x is not None for x in xs]
+    got = np.asarray(out.drop_null(), dtype=np.float64)
+    want = np.array([x for x in xs if x is not None], np.float64)
+    assert got.view(np.uint64).tolist() == want.view(np.uint64).tolist()
+
+
 def test_nullable_page_crc_and_mismatch():
     import pytest
     import numpy as np

@@ -274,6 +274,77 @@ def test_streaming_commit_keeps_extra_chain(spark, tmp_path):
     assert set(out.columns) >= {"lang", "score"}
 
 
+def test_float_double_extras_roundtrip(spark, tmp_path):
+    """Float / double extra columns (quality scores are the canonical
+    use): dense double + nullable float page-encode through the
+    bit-exact float codecs (ALP / byte-shuffle) and round-trip through
+    decode, fsck, and physical purge."""
+    root = str(tmp_path / "enc")
+    df = (synth.token_table(spark, 150, seed=74)
+          .withColumn("quality", F.col("n_tok") / F.lit(7.0))
+          .withColumn("conf", F.when(F.col("n_tok") % 4 != 0,
+                                     (F.col("n_tok") / F.lit(3.0))
+                                     .cast("float")))
+          .cache())
+    assert df.filter(F.col("conf").isNull()).count() > 0
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=4,
+                      direct_write=True)
+    assert table_extra_schema(root) == {"quality": "double", "conf": "float"}
+    out = decode_job.decode(spark, root)
+    assert dict(out.dtypes)["quality"] == "double"
+    assert dict(out.dtypes)["conf"] == "float"
+    assert decode_job.audit(df, out, strict=True) == {
+        "missing": 0, "extra": 0, "ok": True}
+    from tokencodec.spark import fsck
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+    doomed = [r[0] for r in df.select("doc_id").orderBy("doc_id")
+              .limit(5).collect()]
+    maintenance.delete_docs(spark, root, doomed)
+    maintenance.purge_deletes(spark, root)
+    survivors = df.filter(~F.col("doc_id").isin(doomed))
+    assert decode_job.audit(survivors, decode_job.decode(spark, root),
+                            strict=True) == {
+        "missing": 0, "extra": 0, "ok": True}
+
+
+def test_float_to_double_widening(spark, tmp_path):
+    """float widens to double across commits (the float analogue of
+    int -> bigint): float-era pages decode under the double declaration
+    as an exact widening, and compaction merges the mixed-width eras
+    into double pages."""
+    root = str(tmp_path / "enc")
+    base = synth.token_table(spark, 200, seed=75).cache()
+    half1 = (base.filter(F.crc32("doc_id") % 2 == 0)
+             .withColumn("conf", (F.col("n_tok") / F.lit(3.0))
+                         .cast("float"))).cache()
+    # values a float32 cannot represent — only legal under double
+    half2 = (base.filter(F.crc32("doc_id") % 2 == 1)
+             .withColumn("conf", F.col("n_tok") / F.lit(7.0) + 1e-12)).cache()
+    encode_job.encode(spark, half1, root, commit_groups=1, n_salts=2,
+                      max_chunk_tokens=2048, direct_write=True)
+    encode_job.encode(spark, half2, root, commit_groups=1, n_salts=2,
+                      max_chunk_tokens=2048, direct_write=True,
+                      group_prefix="v2g")
+    assert table_extra_schema(root) == {"conf": "double"}
+    out = decode_job.decode(spark, root).cache()
+    assert dict(out.dtypes)["conf"] == "double"
+    got1 = out.join(half1.select("doc_id", F.col("conf").cast("double")
+                                 .alias("want")), "doc_id")
+    assert got1.filter(F.col("conf") != F.col("want")).count() == 0
+    got2 = out.join(half2.select("doc_id", F.col("conf").alias("want")),
+                    "doc_id")
+    assert got2.filter(F.col("conf") != F.col("want")).count() == 0
+    # compaction merges the float-era and double-era chunks at double
+    before = encode_job.read_pages(spark, root).count()
+    maintenance.compact(spark, root, max_chunk_tokens=1 << 20)
+    assert encode_job.read_pages(spark, root).count() < before
+    post = decode_job.decode(spark, root).cache()
+    assert post.exceptAll(out).count() == 0
+    assert out.exceptAll(post).count() == 0
+    from tokencodec.spark import fsck
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+
+
 def test_fsck_validates_extra_pages(spark, tmp_path):
     """fsck reconciles enc/raw metrics INCLUDING extra pages (they
     count into the chunk metrics) and CRC-checks each extra page."""

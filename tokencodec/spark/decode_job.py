@@ -135,7 +135,9 @@ def _decode_chunk(pages: dict, cols: list[str], packed: bool) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays([arrays[c] for c in cols], names=cols)
 
 
-_EXTRA_PA = {"int": pa.int32(), "bigint": pa.int64(), "string": pa.string()}
+_EXTRA_PA = {"int": pa.int32(), "bigint": pa.int64(), "string": pa.string(),
+             "float": pa.float32(), "double": pa.float64()}
+_EXTRA_NP_FLOAT = {"float": np.float32, "double": np.float64}
 
 
 def _extra_array(page, spark_type: str, n: int) -> pa.Array:
@@ -163,6 +165,13 @@ def _extra_array(page, spark_type: str, n: int) -> pa.Array:
         return present.take(idx)
     if spark_type == "string":
         return _string_array(page)
+    if spark_type in _EXTRA_NP_FLOAT:
+        # recorded width may be narrower than declared (float chunks
+        # under a later double declaration): float32 -> float64 is an
+        # exact widening
+        f = pageformat.decode_float_page(page)
+        return pa.array(f.astype(_EXTRA_NP_FLOAT[spark_type], copy=False),
+                        type=_EXTRA_PA[spark_type])
     v = pageformat.decode_int_page(page)
     return pa.array(v.astype(np.int64 if spark_type == "bigint"
                              else np.int32, copy=False),
@@ -170,7 +179,9 @@ def _extra_array(page, spark_type: str, n: int) -> pa.Array:
 
 
 _KIND_TYPE = {pageformat.KIND_INT32: "int", pageformat.KIND_INT64: "bigint",
-              pageformat.KIND_STRING: "string"}
+              pageformat.KIND_STRING: "string",
+              pageformat.KIND_FLOAT32: "float",
+              pageformat.KIND_FLOAT64: "double"}
 
 
 def decode_extra_page(page) -> pa.Array:
@@ -617,8 +628,12 @@ def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict
         b = _signature(decoded.select(*cols))
         if tuple(a) == tuple(b):
             return {"missing": 0, "extra": 0, "ok": True}
-    missing = original.exceptAll(decoded).count()
-    extra = decoded.exceptAll(original).count()
+    # exceptAll is POSITIONAL: align both sides on the shared column
+    # list (decode emits extras in sorted order, which need not match
+    # the source's insertion order)
+    left, right = original.select(*cols), decoded.select(*cols)
+    missing = left.exceptAll(right).count()
+    extra = right.exceptAll(left).count()
     return {"missing": missing, "extra": extra,
             "ok": missing == 0 and extra == 0}
 

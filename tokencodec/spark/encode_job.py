@@ -57,7 +57,10 @@ PAGES_DDL = (
 
 # Spark type name -> page kind for supported extra columns
 _EXTRA_KINDS = {"int": pageformat.KIND_INT32, "bigint": pageformat.KIND_INT64,
-                "string": pageformat.KIND_STRING}
+                "string": pageformat.KIND_STRING,
+                "float": pageformat.KIND_FLOAT32,
+                "double": pageformat.KIND_FLOAT64}
+_EXTRA_NP_FLOAT = {"float": np.float32, "double": np.float64}
 
 # per-chunk distinct-source lists longer than this are recorded as NULL
 # ("unknown"): an over-mixed chunk carries no pruning power anyway
@@ -91,6 +94,13 @@ def encode_extra_page(arr, spark_type: str) -> bytes:
     if spark_type == "string":
         o, d = _str_buffers(arr.cast(pa.string()))
         page = pageformat.encode_string_page(o, d)
+    elif spark_type in _EXTRA_NP_FLOAT:
+        vals = (arr if isinstance(arr, np.ndarray)
+                else arr.to_numpy(zero_copy_only=False)).astype(
+                    _EXTRA_NP_FLOAT[spark_type])
+        # bit-exact ALP / byte-shuffle auto-selection, like embedding
+        # leaves (pageformat.encode_float_page)
+        page = pageformat.encode_float_page(vals, _EXTRA_KINDS[spark_type])
     else:
         vals = (arr if isinstance(arr, np.ndarray)
                 else arr.to_numpy(zero_copy_only=False)).astype(np.int64)
@@ -381,8 +391,8 @@ def next_table_totals(parent: dict | None, delta: dict) -> dict | None:
 
 def merge_extra_schema(base: dict, add: dict) -> dict:
     """Merge two extra-column schemas: identical types agree, int
-    widens to bigint (Iceberg's legal promotion), anything else is an
-    incompatible redefinition and fails loudly."""
+    widens to bigint and float to double (Iceberg's legal promotions),
+    anything else is an incompatible redefinition and fails loudly."""
     out = dict(base)
     for k, t in add.items():
         prev = out.get(k)
@@ -390,10 +400,13 @@ def merge_extra_schema(base: dict, add: dict) -> dict:
             out[k] = t
         elif {prev, t} == {"int", "bigint"}:
             out[k] = "bigint"
+        elif {prev, t} == {"float", "double"}:
+            out[k] = "double"
         else:
             raise ValueError(
                 f"incompatible schema evolution for column '{k}': "
-                f"{prev} -> {t} (only int -> bigint widening is allowed)")
+                f"{prev} -> {t} (only int -> bigint and float -> double "
+                "widening are allowed)")
     return out
 
 
@@ -565,11 +578,11 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
 
     Schema evolution (round 5): any column of ``df`` beyond the core
     (doc_id, tokens, n_tok, source) is encoded as an EXTRA column —
-    int / bigint / string supported — with its own page per chunk and
-    the commit records its type in ``metrics.extra_schema``. Later
-    batches may add columns (older chunks decode them as NULL) or widen
-    an int column to bigint; decode resolves the merged schema from the
-    manifest chain.
+    int / bigint / float / double / string supported — with its own
+    page per chunk and the commit records its type in
+    ``metrics.extra_schema``. Later batches may add columns (older
+    chunks decode them as NULL) or widen int to bigint / float to
+    double; decode resolves the merged schema from the manifest chain.
 
     ``direct_write=True`` writes pages parquet with pyarrow inside each
     task and commits the collected file list (Iceberg's task-file /
