@@ -869,6 +869,58 @@ FROM spans ORDER BY seq_id, seq_start
 """
 
 
+def q_pack_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded epoch shuffle of the packed sequences — the
+    dataloader-order contract on top of sequence packing: every epoch is
+    a different but REPRODUCIBLE permutation, keyed by
+    md5('epoch:<e>:' || seq_id), split into 16 shards by the key's
+    first hex digit so each training worker reads its shard in key
+    order.
+
+    Scale shape: the permutation is pinned per (epoch, shard), never
+    globally — `row_number` partitions by (epoch, shard), so no window
+    ever sees more than 1/16 of an epoch (at 100 TB you raise the shard
+    digit count; the per-shard window is how real dataloaders consume a
+    shuffle, one shard per worker). Only the packed table's tiny
+    (seq_id, n_tok) projection is decoded — token pages are never
+    parsed (page-level projection, ref op #20)."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _pack_root(spark, sf_dir),
+                            columns=["doc_id", "n_tok"])
+    seqs = out.select(F.col("doc_id").alias("seq_id"),
+                      F.col("n_tok").cast("bigint").alias("n_tok"))
+    epochs = spark.range(1, 3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = seqs.crossJoin(F.broadcast(epochs)).withColumn(
+        "k", F.md5(F.concat(F.lit("epoch:"), F.col("epoch").cast("string"),
+                            F.lit(":"), F.col("seq_id"))))
+    keyed = keyed.withColumn("shard", F.substring("k", 1, 1))
+    w = Window.partitionBy("epoch", "shard").orderBy("k")
+    return (keyed.select("epoch", "shard",
+                         F.row_number().over(w).alias("pos"),
+                         "seq_id", "n_tok")
+            .orderBy("epoch", "shard", "pos"))
+
+
+SQL_PACK_SHUFFLE_EPOCH = f"""
+{_SQL_PACK_SPANS},
+seqs AS (
+  SELECT printf('s%012d', seq_id) AS seq_id,
+         CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT) AS n_tok
+  FROM spans GROUP BY seq_id
+),
+keyed AS (
+  SELECT e.epoch, s.seq_id, s.n_tok,
+         md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' || s.seq_id) AS k
+  FROM seqs s, (VALUES (1), (2)) AS e(epoch)
+)
+SELECT epoch, substr(k, 1, 1) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, substr(k, 1, 1)
+                               ORDER BY k) AS INTEGER) AS pos,
+       seq_id, n_tok
+FROM keyed ORDER BY epoch, shard, pos
+"""
+
+
 def q_engine_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity verification over the committed snapshot (the
     reference's page-byte accounting, Stream/Reader.hs:349-353,
@@ -1811,6 +1863,163 @@ GROUP BY doc_id, n_grams ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# deterministic sampling + corpus assembly
+#
+# The sampling primitive: substr(md5(tag || doc_id), 1, 8) is a uniform
+# draw from [0, 2^32) rendered as 8 lowercase hex chars; comparing it
+# against a fixed hex threshold keeps a row with probability
+# threshold / 2^32. Lexicographic order on fixed-width lowercase hex
+# EQUALS numeric order ('0'-'9' < 'a'-'f' in ASCII), so the identical
+# string comparison reproduces bit-for-bit in DuckDB — no engine RNG, no
+# seed plumbing, and membership is stable under repartitioning, retries,
+# and incremental appends (a doc's fate depends only on its id). This is
+# how a 100-TB pipeline samples: map-only, zero shuffle, re-runnable.
+# --------------------------------------------------------------------------
+
+def _sample_hex(tag: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))), 1, 8)
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: each source keeps a deterministic
+    hash-fraction of its documents (10% / 50% / 90% by weight class) —
+    the mixture-reweighting step every training corpus runs to balance
+    domains. Map-only + one per-source aggregate; no shuffle of kept
+    rows, no RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    cls = F.ascii(F.expr("right(source, 1)")) % 3
+    thr = (F.when(cls == 0, "19999999")     # keep ~10%
+            .when(cls == 1, "80000000")     # keep ~50%
+            .otherwise("e6666666"))         # keep ~90%
+    kept = d.withColumn("keep", (_sample_hex("mix:") < thr).cast("int"))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(F.when(F.col("keep") == 1, F.col("n_chars")))
+                 .alias("kept_chars"),
+                 F.min(F.when(F.col("keep") == 1, F.col("doc_id")))
+                 .alias("min_kept"),
+                 F.max(F.when(F.col("keep") == 1, F.col("doc_id")))
+                 .alias("max_kept"))
+            .orderBy("source"))
+
+
+SQL_SAMPLE_MIXTURE = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                   CASE ascii(right(source, 1)) % 3
+                        WHEN 0 THEN '19999999'
+                        WHEN 1 THEN '80000000'
+                        ELSE 'e6666666' END
+              THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, count(*) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+       min(CASE WHEN keep = 1 THEN doc_id END) AS min_kept,
+       max(CASE WHEN keep = 1 THEN doc_id END) AS max_kept
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~5% test, ~5% val) by
+    hash threshold — stable under appends: a document's split never
+    changes when the corpus grows, so eval sets stay uncontaminated
+    across corpus versions."""
+    d = _t(spark, sf_dir, "documents")
+    h = _sample_hex("split:")
+    split = (F.when(h < F.lit("0ccccccc"), "test")
+              .when(h < F.lit("19999999"), "val")
+              .otherwise("train"))
+    return (d.select(split.alias("split"), "doc_id", "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("split"))
+
+
+SQL_SAMPLE_SPLIT = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '0ccccccc' THEN 'test'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '19999999' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-assembly composition a training pipeline runs
+    before packing: quality gate (20..10000 words) -> exact dedup (keep
+    min doc_id per md5(text)) -> benchmark decontamination (drop any
+    survivor sharing a 13-gram with the eval slice) -> per-source
+    accounting of the materialized corpus.
+
+    Scale shape: every stage composes the already-scale-audited parts —
+    the quality gate is map-only, dedup shuffles only (hash, doc_id)
+    pairs, decontamination broadcasts the eval grams and builds corpus
+    grams split-locally over SURVIVORS ONLY (the gate + dedup run below
+    the gram kernel), and the anti-join ships just contaminated ids.
+    One pipeline, no stage widens a row beyond its own needs."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    base = (d.filter(F.col("doc_id") % 7 != 0)
+            .withColumn("n_words", n_words.cast("bigint"))
+            .filter(F.col("n_words").between(20, 10000)))
+    keepers = (base.groupBy(F.md5("text").alias("h"))
+               .agg(F.min("doc_id").alias("doc_id")))
+    survivors = base.join(keepers.select("doc_id"), "doc_id")
+    eval_grams = (_decon_gram_rows(d.filter(F.col("doc_id") % 7 == 0))
+                  .select("s1", "s2").distinct())
+    contam = (_decon_gram_rows(survivors)
+              .join(F.broadcast(eval_grams), ["s1", "s2"])
+              .select("doc_id").distinct())
+    clean = survivors.join(contam, "doc_id", "left_anti")
+    return (clean.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("sum_words"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("source"))
+
+
+SQL_CORPUS_FILTER_PIPELINE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+eg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+{_DECON_N - 1}], ' ')) AS gram
+       FROM w, unnest(generate_series(1, CAST(len(ws) - {_DECON_N - 1} AS BIGINT))) AS u(i)
+       WHERE doc_id % 7 = 0 AND len(ws) >= {_DECON_N}),
+base AS (SELECT doc_id, source, md5(text) AS h,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                string_split(text, ' ') AS ws
+         FROM documents
+         WHERE doc_id % 7 != 0
+           AND len(string_split(text, ' ')) BETWEEN 20 AND 10000),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY h),
+surv AS (SELECT b.* FROM base b JOIN keep USING (doc_id)),
+sg AS (SELECT doc_id, md5(array_to_string(ws[i:i+{_DECON_N - 1}], ' ')) AS gram
+       FROM surv, unnest(generate_series(1, CAST(len(ws) - {_DECON_N - 1} AS BIGINT))) AS u(i)),
+contam AS (SELECT DISTINCT doc_id FROM sg JOIN eg USING (gram)),
+clean AS (SELECT * FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM clean GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
 
@@ -2339,6 +2548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
         "text_decontaminate": q_text_decontaminate,
+        "sample_mixture": q_sample_mixture,
+        "sample_split": q_sample_split,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
+        "pack_shuffle_epoch": q_pack_shuffle_epoch,
         "knn_cosine": q_knn_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2387,6 +2600,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+        "sample_mixture": SQL_SAMPLE_MIXTURE,
+        "sample_split": SQL_SAMPLE_SPLIT,
+        "corpus_filter_pipeline": SQL_CORPUS_FILTER_PIPELINE,
+        "pack_shuffle_epoch": SQL_PACK_SHUFFLE_EPOCH,
         "knn_cosine": SQL_KNN_COSINE,
         "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,

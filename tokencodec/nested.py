@@ -144,8 +144,14 @@ def encode_nested_page(arr: pa.Array) -> bytes:
     parts: list[bytes] = []
     _encode_node(arr, parts)
     payload = b"".join(parts)
-    return pageformat._wrap(NESTED_CODEC, pageformat.KIND_INT64, 0, len(arr),
+    page = pageformat._wrap(NESTED_CODEC, pageformat.KIND_INT64, 0, len(arr),
                             0, 0, payload)
+    # one DEFLATE pass over the whole tree (round 5): the sub-pages
+    # already model per-node structure, but cross-node redundancy
+    # (repeated validity shapes, shared string content across struct
+    # fields) is only visible to an envelope-level entropy coder —
+    # and a single pass beats deflating each sub-page separately
+    return pageformat.maybe_deflate(page)
 
 
 def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
@@ -234,6 +240,8 @@ def decode_nested_page(buf: bytes | memoryview) -> pa.Array:
     import zlib
 
     h = pageformat.read_header(buf)
+    if h["codec"] == codecs.DEFLATED:
+        return decode_nested_page(pageformat._inflate(buf, True))
     if h["codec"] != NESTED_CODEC:
         raise ValueError("not a nested page")
     mv = memoryview(buf)[pageformat.HEADER_SIZE:pageformat.HEADER_SIZE + h["payload_len"]]
