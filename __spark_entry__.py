@@ -652,6 +652,70 @@ ORDER BY doc_id
 """
 
 
+def _tag_root(spark: SparkSession, sf_dir: str) -> str:
+    """Three streaming commits split by doc number mod 3; the FIRST
+    commit is pinned by tag 'v1', then the chain is expired down to the
+    head. The tagged snapshot and its data files must survive the
+    expiry (retention hold) while the untagged middle commit's manifest
+    is dropped."""
+    from tokencodec.spark import maintenance, streaming
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/tag_v1_n{n}"
+    src = root + "_src"
+    if root not in _ENGINE_CACHE:
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("bigint")
+        tbl = SnapshotTable(root)
+        if tbl.current_snapshot() is None:
+            df.filter(num % 3 == 1).write.mode("append").parquet(src)
+            streaming.encode_stream(spark, src, root)
+        if not any(r["name"] == "v1" for r in tbl.tags()):
+            tbl.create_tag("v1",
+                           snapshot_id=tbl.chain()[0]["snapshot_id"])
+            df.filter(num % 3 == 2).write.mode("append").parquet(src)
+            streaming.encode_stream(spark, src, root)
+            df.filter(num % 3 == 0).write.mode("append").parquet(src)
+        # idempotent catch-up (crash between a source drop and its
+        # commit resumes here; a caught-up table is a no-op)
+        streaming.encode_stream(spark, src, root)
+        maintenance.expire_snapshots(root, keep_last=1)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_decode_at_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by NAME under retention pressure (Iceberg tags,
+    round 5): decode(tag='v1') after expire_snapshots(keep_last=1) has
+    dropped every untagged historical manifest — the tagged snapshot is
+    a retention hold, so its manifest and data files survive and the
+    read returns EXACTLY the first commit's rows, which DuckDB
+    recomputes from `documents` (same tok_sum + md5 protocol as
+    engine_decode_rows). Resolution is one manifest-dir read: no Spark
+    job, no directory scan beyond the ref file."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _tag_root(spark, sf_dir), tag="v1")
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_DECODE_AT_TAG = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t WHERE CAST(substring(doc_id, 2) AS BIGINT) % 3 = 1
+ORDER BY doc_id
+"""
+
+
 def _del_root(spark: SparkSession, sf_dir: str) -> str:
     """A docs-derived root with a committed takedown: every doc whose
     number ends in 3 is equality-deleted (round-5 row-level deletes)."""
@@ -2519,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_vectors_pruned": q_engine_vectors_pruned,
         "engine_stream_encode": q_engine_stream_encode,
         "engine_incremental_changes": q_engine_incremental_changes,
+        "engine_decode_at_tag": q_engine_decode_at_tag,
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
         "engine_decode_after_delete": q_engine_decode_after_delete,
@@ -2616,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_nested_roundtrip": SQL_ENGINE_NESTED_ROUNDTRIP,
         "engine_embed_roundtrip": SQL_ENGINE_EMBED_ROUNDTRIP,
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
+        "engine_decode_at_tag": SQL_ENGINE_DECODE_AT_TAG,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,
         "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,

@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                                        "(chunk pruning + row re-filter)")
     dec.add_argument("--n-tok-min", type=int)
     dec.add_argument("--n-tok-max", type=int)
+    dec.add_argument("--at-tag",
+                     help="time travel by name: decode the table as of "
+                          "the snapshot this tag pins")
 
     aud = sub.add_parser(
         "audit",
@@ -66,6 +69,22 @@ def main(argv: list[str] | None = None) -> int:
 
     snaps = sub.add_parser("snapshots", help="list committed snapshots")
     snaps.add_argument("root")
+
+    tagp = sub.add_parser(
+        "tag", help="pin a named immutable tag to a snapshot (retention "
+                    "hold: survives expire-snapshots)")
+    tagp.add_argument("root")
+    tagp.add_argument("name")
+    tagp.add_argument("--snapshot-id", type=int,
+                      help="snapshot to pin (default: current)")
+
+    dtag = sub.add_parser("drop-tag", help="remove a tag (its snapshot "
+                                           "becomes expirable again)")
+    dtag.add_argument("root")
+    dtag.add_argument("name")
+
+    ltag = sub.add_parser("tags", help="list tags")
+    ltag.add_argument("root")
 
     desc = sub.add_parser(
         "describe",
@@ -159,6 +178,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
         return 0
 
+    if args.cmd == "tag":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        ref = SnapshotTable(args.root).create_tag(
+            args.name, snapshot_id=args.snapshot_id)
+        print(json.dumps(ref))
+        return 0
+
+    if args.cmd == "drop-tag":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        SnapshotTable(args.root).drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+        return 0
+
+    if args.cmd == "tags":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        for ref in SnapshotTable(args.root).tags():
+            print(json.dumps(ref))
+        return 0
+
     if args.cmd == "snapshots":  # no Spark needed
         from tokencodec.spark.table import SnapshotTable
         for s in SnapshotTable(args.root).snapshots():
@@ -199,7 +237,8 @@ def main(argv: list[str] | None = None) -> int:
                                    sources=(args.sources.split(",")
                                             if args.sources else None),
                                    n_tok_min=args.n_tok_min,
-                                   n_tok_max=args.n_tok_max)
+                                   n_tok_max=args.n_tok_max,
+                                   tag=args.at_tag)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "encode-vectors":

@@ -436,7 +436,8 @@ def decode(spark: SparkSession, root: str,
            sources: list[str] | None = None,
            n_tok_min: int | None = None,
            n_tok_max: int | None = None,
-           paths: list[str] | None = None) -> DataFrame:
+           paths: list[str] | None = None,
+           tag: str | None = None) -> DataFrame:
     """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
@@ -455,6 +456,14 @@ def decode(spark: SparkSession, root: str,
     binary pages are read and parsed.
     """
     from pyspark.sql import functions as F
+
+    # time travel by name: a tag (SnapshotTable.create_tag) resolves to
+    # its pinned snapshot id — one manifest-dir read, no Spark job
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either tag or snapshot_id, not both")
+        from tokencodec.spark.table import SnapshotTable
+        snapshot_id = SnapshotTable(root).tag(tag)["snapshot_id"]
 
     # schema evolution: extra columns declared anywhere on the chain are
     # part of the logical schema — default projection includes them, and

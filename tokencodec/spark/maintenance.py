@@ -727,9 +727,13 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
             f"refusing to GC {root}: snapshot manifests exist but no "
             "committed chain anchor was found — repair the table before "
             "running remove_orphan_files")
+    # tagged snapshots legitimately live OFF the chain once expiry has
+    # dropped the manifests between them and the current head — a tag
+    # is a retention hold, not legacy-claim debris
+    tagged_ids = {ref["snapshot_id"] for ref in tbl.tags()}
     deleted_claims = 0
     for s in all_snaps:
-        if s["snapshot_id"] in chain_ids:
+        if s["snapshot_id"] in chain_ids or s["snapshot_id"] in tagged_ids:
             continue
         path = posixpath.join(tbl.manifest_dir,
                               f"snapshot-{s['snapshot_id']:06d}.json")
@@ -776,7 +780,11 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
 
 def expire_snapshots(root: str, keep_last: int = 1, fs=None) -> dict:
     """Drop all but the last ``keep_last`` snapshots and delete run
-    directories referenced only by the dropped ones."""
+    directories referenced only by the dropped ones. Tagged snapshots
+    (SnapshotTable.create_tag) are retention holds: their manifests and
+    data files survive expiry regardless of age — also when the tagged
+    snapshot already sits OUTSIDE the retained parent chain from an
+    earlier expire (a tag is resolvable for as long as it exists)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     tbl = SnapshotTable(root, fs=fs)
@@ -786,10 +794,19 @@ def expire_snapshots(root: str, keep_last: int = 1, fs=None) -> dict:
     # delete the real current manifest and its solely-referenced data.
     # Unreachable claims are left for remove_orphan_files' age guard.
     snaps = tbl.chain()
+    tagged = []
+    for ref in tbl.tags():
+        s = tbl._read_snap(ref["snapshot_id"])
+        if s is not None:
+            tagged.append(s)
+    tagged_ids = {s["snapshot_id"] for s in tagged}
     if len(snaps) <= keep_last:
         return {"expired_snapshots": 0, "deleted_dirs": 0}
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-    live = {p for s in keep for ps in s["groups"].values() for p in ps}
+    keep = snaps[-keep_last:]
+    drop = [s for s in snaps[:-keep_last]
+            if s["snapshot_id"] not in tagged_ids]
+    live = {p for s in keep + tagged
+            for ps in s["groups"].values() for p in ps}
     dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
     for p in sorted(dead):
         tbl.fs.delete(p, recursive=True)

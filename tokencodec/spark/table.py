@@ -56,10 +56,15 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import time
 import uuid
 
 from tokencodec.spark.fsio import fs_for
+
+# tag names become manifest-dir file names (ref-<name>.json): keep them
+# to one path-safe segment so no backend can interpret them as paths
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 # group keys carrying row-level DELETE manifests (parquet files of
 # deleted doc_ids) instead of page data — Iceberg v2 equality deletes.
@@ -193,6 +198,72 @@ class SnapshotTable:
                 break  # expired: truncated history
             snap = json.loads(self.fs.read_text(path))
         out.reverse()
+        return out
+
+    # --------------------------------------------------------------- tags
+    # Named immutable refs to snapshot ids (Iceberg tags): retention
+    # holds for releases, eval pins, takedown audits. A tag file is
+    # created with the SAME atomic create-if-absent primitive as a
+    # commit, so tags are race-safe on every backend (POSIX link,
+    # S3/GCS conditional PUT) and immutable by construction — re-tagging
+    # a name requires an explicit drop first. expire_snapshots and
+    # remove_orphan_files both treat tagged snapshots (and their data
+    # files) as live even after they leave the retained chain.
+
+    def _ref_path(self, name: str) -> str:
+        return posixpath.join(self.manifest_dir, f"ref-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Pin ``name`` to a snapshot (default: the current one)."""
+        if not _TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: need a single path-safe "
+                "segment matching [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+        snap = (self.current_snapshot() if snapshot_id is None
+                else self.snapshot(snapshot_id))
+        if snap is None:
+            raise ValueError(f"cannot tag an empty table at {self.root}")
+        ref = {"name": name, "snapshot_id": snap["snapshot_id"],
+               "created_ms": int(time.time() * 1000)}
+        try:
+            self.fs.create_excl(self._ref_path(name),
+                                json.dumps(ref, indent=1))
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable; "
+                "drop_tag first to re-point it)") from None
+        return ref
+
+    def drop_tag(self, name: str) -> None:
+        path = self._ref_path(name)
+        if not self.fs.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} under {self.root}")
+        self.fs.delete(path)
+
+    def tag(self, name: str) -> dict:
+        path = self._ref_path(name)
+        if not self.fs.exists(path):
+            raise FileNotFoundError(f"no tag {name!r} under {self.root}")
+        ref = json.loads(self.fs.read_text(path))
+        if not (isinstance(ref, dict) and "snapshot_id" in ref):
+            raise ValueError(f"malformed tag file {path}")
+        return ref
+
+    def tags(self) -> list[dict]:
+        """Every well-formed tag, sorted by name. Torn/malformed ref
+        files are skipped (same tolerance as snapshots())."""
+        out = []
+        for fname in self.fs.listdir(self.manifest_dir):
+            if not (fname.startswith("ref-") and fname.endswith(".json")):
+                continue
+            try:
+                ref = json.loads(self.fs.read_text(
+                    posixpath.join(self.manifest_dir, fname)))
+            except ValueError:
+                continue
+            if isinstance(ref, dict) and "name" in ref and "snapshot_id" in ref:
+                out.append(ref)
+        out.sort(key=lambda r: r["name"])
         return out
 
     # ------------------------------------------------------------- writes
