@@ -62,8 +62,10 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, memoryview]:
         col = col.combine_chunks()
     odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     bufs = col.buffers()
-    if bufs[1] is None:
-        # Arrow permits a null offsets buffer on zero-length arrays
+    if bufs[1] is None or len(col) == 0:
+        # Arrow permits a null — or empty/undersized — offsets buffer
+        # on zero-length arrays (e.g. the items child of a map column
+        # whose rows are all empty)
         off = np.zeros(1, dtype=odt)
     else:
         off = np.frombuffer(bufs[1], dtype=odt, count=len(col) + 1 + col.offset)
@@ -73,6 +75,23 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, memoryview]:
     data = (memoryview(bufs[2]).cast("B") if bufs[2] is not None
             else memoryview(b""))
     return off, data
+
+
+def _map_binary_views(col: pa.Array):
+    """Zero-copy row access into a map<string, binary> column:
+    (map_offsets, keys, value_offsets, value data view). A MapArray is
+    list<struct<key, value>>: ``.offsets`` is slice-adjusted to the
+    row window while ``.keys``/``.items`` are the FULL flattened
+    children, so the offsets index the children directly. Row r's
+    entries are keys/values[j] for j in [map_offsets[r],
+    map_offsets[r+1]) — a null or empty map contributes an empty
+    span."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    moff = np.asarray(col.offsets, dtype=np.int64)
+    keys = col.keys.to_pylist()
+    voff, vdata = _binary_views(col.items)
+    return moff, keys, voff, vdata
 
 
 def iter_page_rows(it: Iterator[pa.RecordBatch], page_cols: list[str],

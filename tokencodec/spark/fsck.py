@@ -86,20 +86,27 @@ _PAGE_COLS = ("page_tokens", "page_doc_id", "page_n_tok", "page_source")
 
 
 def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from tokencodec.spark.decode_job import _binary_views
+    from tokencodec.spark.decode_job import _binary_views, _map_binary_views
     for batch in it:
         if batch.num_rows == 0:
             continue
         idx = {n: i for i, n in enumerate(batch.schema.names)}
         cols = {n: batch.column(idx[n]) for n in _COLS}
         # zero-copy page access: memoryview slices into the binary
-        # columns; .as_py() would copy every page's bytes per row
+        # columns (incl. the extra_pages map values); .as_py() would
+        # copy every page's bytes per row. Scalar metadata converts
+        # once per batch, not per row.
         views = {n: _binary_views(cols[n]) for n in _PAGE_COLS}
+        moff, mkeys, voff, vdata = _map_binary_views(cols["extra_pages"])
+        scalars = {n: cols[n].to_pylist() for n in _COLS
+                   if n not in _PAGE_COLS and n != "extra_pages"}
         rows_ok, errs, nrows, ntoks, uids, checked = [], [], [], [], [], []
         for r in range(batch.num_rows):
-            row = {n: cols[n][r].as_py() for n in _COLS if n not in _PAGE_COLS}
+            row = {n: v[r] for n, v in scalars.items()}
             for n, (off, data) in views.items():
                 row[n] = data[off[r]:off[r + 1]]
+            row["extra_pages"] = {mkeys[j]: vdata[voff[j]:voff[j + 1]]
+                                  for j in range(moff[r], moff[r + 1])}
             ok, err, chk = _check_chunk(row)
             uids.append(row["chunk_uid"])
             rows_ok.append(ok)
@@ -160,9 +167,11 @@ def fsck_vector_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         idx = {n: i for i, n in enumerate(batch.schema.names)}
         cols = {n: batch.column(idx[n]) for n in _VCOLS}
         views = {n: _binary_views(cols[n]) for n in _VPAGE_COLS}
+        scalars = {n: cols[n].to_pylist() for n in _VCOLS
+                   if n not in _VPAGE_COLS}
         uids, rows_ok, errs, nrows, checked = [], [], [], [], []
         for r in range(batch.num_rows):
-            row = {n: cols[n][r].as_py() for n in _VCOLS if n not in _VPAGE_COLS}
+            row = {n: v[r] for n, v in scalars.items()}
             for n, (off, data) in views.items():
                 row[n] = data[off[r]:off[r + 1]]
             ok, err, chk = _check_vec_chunk(row)
