@@ -16,7 +16,12 @@ and returns per-codec metrics.
                 relationally, with exact DuckDB oracles
   dedup_*       exact + minhash + simhash + n-gram jaccard dedup
   text_*        language-ID, quality scoring, token counting,
-                fingerprinting over `documents`
+                fingerprinting, eval-set decontamination over
+                `documents`
+  sample_* /    deterministic hash-threshold sampling (domain mixture,
+  corpus_* /    train/val/test split), the composed corpus-assembly
+  pack_shuffle  pipeline, and the sharded epoch shuffle of packed
+                sequences
   knn_* / ann_* brute-force cosine top-k and LSH-bucketed ANN over
                 `embeddings`
   mm_*          multimodal (binary payload) metadata via mapInPandas
@@ -714,6 +719,59 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
 FROM t WHERE CAST(substring(doc_id, 2) AS BIGINT) % 3 = 1
 ORDER BY doc_id
 """
+
+
+def _publish_root(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish: docs with number % 3 == 1 encoded to the
+    main table, the REST encoded to a separate staging root under a
+    distinct group prefix, audited there in isolation, then adopted
+    into main by publish_staged's metadata-only commit."""
+    from tokencodec.spark import decode_job, encode_job, maintenance
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    base = f"/tmp/tokencodec_entry/wap_v1_n{n}"
+    main, stage = f"{base}/main", f"{base}/stage"
+    if main not in _ENGINE_CACHE:
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("bigint")
+        if SnapshotTable(main).current_snapshot() is None:
+            encode_job.encode(spark, df.filter(num % 3 == 1), main,
+                              commit_groups=1, direct_write=True)
+        if not any(k.startswith("h")
+                   for k in SnapshotTable(main).committed_groups()):
+            staged_df = df.filter(num % 3 != 1)
+            # encode() resumes a partially committed staging table
+            encode_job.encode(spark, staged_df, stage, commit_groups=1,
+                              direct_write=True, group_prefix="h")
+            # the AUDIT of write-audit-publish: isolation means a bad
+            # batch is caught before any reader can see it
+            if not decode_job.audit(staged_df,
+                                    decode_job.decode(spark, stage))["ok"]:
+                raise RuntimeError("staging audit failed; not publishing")
+            maintenance.publish_staged(main, stage)
+        _ENGINE_CACHE[main] = main
+    return main
+
+
+def q_engine_publish_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the oracle (round 5, Iceberg's WAP
+    pattern): two thirds of the corpus land via a staging table that is
+    audited in isolation and then adopted by ONE metadata-only commit
+    (maintenance.publish_staged) — no data movement, atomic visibility.
+    The merged main table must decode to EXACTLY the full corpus, which
+    DuckDB recomputes from `documents` (same tok_sum + md5 protocol as
+    engine_decode_rows)."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _publish_root(spark, sf_dir))
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
 
 
 def _del_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2584,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_stream_encode": q_engine_stream_encode,
         "engine_incremental_changes": q_engine_incremental_changes,
         "engine_decode_at_tag": q_engine_decode_at_tag,
+        "engine_publish_staged": q_engine_publish_staged,
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
         "engine_decode_after_delete": q_engine_decode_after_delete,
@@ -2682,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_embed_roundtrip": SQL_ENGINE_EMBED_ROUNDTRIP,
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_decode_at_tag": SQL_ENGINE_DECODE_AT_TAG,
+        "engine_publish_staged": SQL_ENGINE_DECODE_ROWS,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,
         "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,

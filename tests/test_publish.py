@@ -1,0 +1,105 @@
+"""Write-audit-publish (publish_staged): adopting an audited staging
+table's groups into the main table via one metadata-only commit —
+correctness of the merged read, the uid-namespace collision guard, the
+delete/scheme refusals, extra-schema merge, and staging retirement."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tokencodec.spark import decode_job, encode_job, maintenance, synth
+from tokencodec.spark.table import SnapshotTable
+
+
+def _halves(spark, n=80, seed=11):
+    full = synth.token_table(spark, n, seed=seed)
+    a = full.limit(n // 2)
+    b = full.subtract(a)
+    return full, a, b
+
+
+def test_publish_merges_and_retires(spark, tmp_path):
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    full, a, b = _halves(spark, 80)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512)
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=512,
+                      group_prefix="h")
+    # the AUDIT step of write-audit-publish, in isolation
+    assert decode_job.audit(b, decode_job.decode(spark, stage))["ok"]
+    main_tt = SnapshotTable(main).current_snapshot()["metrics"]["table_totals"]
+    stage_tt = SnapshotTable(stage).current_snapshot()["metrics"]["table_totals"]
+
+    snap = maintenance.publish_staged(main, stage)
+    assert "h0" in snap["groups"] and "g0" in snap["groups"]
+    # merged read is bit-identical to the union
+    assert decode_job.audit(full, decode_job.decode(spark, main),
+                            strict=True)["ok"]
+    # totals accumulated without any scan: exactly main + staging
+    tt = snap["metrics"]["table_totals"]
+    assert tt == {k: main_tt[k] + stage_tt[k] for k in tt}
+    # staging manifests retired: ownership transferred
+    assert SnapshotTable(stage).current_snapshot() is None
+    # main's maintenance still owns the adopted files end-to-end
+    assert decode_job.audit(full, decode_job.decode(spark, main))["ok"]
+
+
+def test_publish_refuses_uid_namespace_collision(spark, tmp_path):
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    _, a, b = _halves(spark, 60)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512)
+    # staging encoded with the DEFAULT prefix: group key g0 == main's
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=512)
+    with pytest.raises(ValueError, match="already committed"):
+        maintenance.publish_staged(main, stage)
+    # refusal left both tables untouched
+    assert decode_job.audit(a, decode_job.decode(spark, main))["ok"]
+    assert SnapshotTable(stage).current_snapshot() is not None
+
+
+def test_publish_refuses_deletes_and_empty(spark, tmp_path):
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    _, a, b = _halves(spark, 60)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512)
+    with pytest.raises(ValueError, match="no\\s+committed snapshot"):
+        maintenance.publish_staged(main, str(tmp_path / "nothing"))
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=512,
+                      group_prefix="h")
+    maintenance.delete_docs(spark, stage, b.limit(1).select("doc_id"))
+    with pytest.raises(ValueError, match="delete manifests"):
+        maintenance.publish_staged(main, stage)
+
+
+def test_publish_refuses_scheme_mismatch(spark, tmp_path):
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    _, a, b = _halves(spark, 60)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512,
+                      n_salts=4)
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=512,
+                      n_salts=8, group_prefix="h")
+    with pytest.raises(ValueError, match="scheme"):
+        maintenance.publish_staged(main, stage)
+
+
+def test_publish_merges_extra_schema(spark, tmp_path):
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    full, a, b = _halves(spark, 60, seed=13)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512)
+    b_x = b.withColumn("rank", F.length("doc_id").cast("int"))
+    encode_job.encode(spark, b_x, stage, commit_groups=1,
+                      max_chunk_tokens=512, group_prefix="h")
+    maintenance.publish_staged(main, stage)
+    out = decode_job.decode(spark, main)
+    assert "rank" in out.columns
+    # staged rows carry the value, pre-publish main rows back-fill NULL
+    assert out.filter(F.col("rank").isNotNull()).count() == b.count()
+    assert out.filter(F.col("rank").isNull()).count() == a.count()

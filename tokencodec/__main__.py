@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     ltag = sub.add_parser("tags", help="list tags")
     ltag.add_argument("root")
 
+    pub = sub.add_parser(
+        "publish", help="write-audit-publish: adopt an audited staging "
+                        "table's groups into the main table (one "
+                        "metadata-only commit; no data movement)")
+    pub.add_argument("main_root")
+    pub.add_argument("staging_root")
+    pub.add_argument("--keep-staging-manifests", action="store_true",
+                     help="leave the staging _manifest dir in place "
+                          "(default: retired — ownership of the data "
+                          "files transfers to the main table)")
+
     desc = sub.add_parser(
         "describe",
         help="table summary from the manifest alone (no Spark, no scan)")
@@ -172,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
                "n_data_paths": n_files,
                "table_totals": snap.get("metrics", {}).get("table_totals"),
                "max_doc_parts": None,
-               "n_snapshots": len(tbl.snapshots())}
+               "n_snapshots": len(tbl.snapshots()),
+               "tags": {r["name"]: r["snapshot_id"] for r in tbl.tags()}}
         from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
         out["max_doc_parts"] = _max_doc_parts_from_manifest(args.root, None)
         print(json.dumps(out))
@@ -195,6 +207,15 @@ def main(argv: list[str] | None = None) -> int:
         from tokencodec.spark.table import SnapshotTable
         for ref in SnapshotTable(args.root).tags():
             print(json.dumps(ref))
+        return 0
+
+    if args.cmd == "publish":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import publish_staged
+        snap = publish_staged(args.main_root, args.staging_root,
+                              retire_staging=not args.keep_staging_manifests)
+        print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                          "groups": sorted(snap["groups"]),
+                          "metrics": snap["metrics"]}))
         return 0
 
     if args.cmd == "snapshots":  # no Spark needed

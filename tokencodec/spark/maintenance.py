@@ -693,6 +693,116 @@ def purge_deletes(spark: SparkSession, root: str,
     return tbl.commit(new_groups, metrics=m, replace=True)
 
 
+def publish_staged(main_root: str, staging_root: str,
+                   retire_staging: bool = True, fs=None) -> dict:
+    """Write-audit-publish: adopt an audited staging table's committed
+    groups into the main table with ONE metadata-only commit — no data
+    is moved or rewritten, so publish is O(manifest) regardless of how
+    many terabytes the staging encode produced.
+
+    The intended workflow (Iceberg's WAP pattern): encode a new batch
+    to its own staging root with a DISTINCT ``group_prefix``, run
+    audit/fsck against it in isolation, then publish. Readers of the
+    main table see all of it or none of it.
+
+    Group keys are adopted VERBATIM: the group key is also the chunk-uid
+    namespace, so the commit's existing duplicate-key refusal doubles as
+    the uid-collision guard — a staging table encoded with the default
+    prefix against a main table that already has those keys is refused
+    with the advice to re-encode under a fresh prefix.
+
+    Refused loudly: a staging table carrying delete manifests (they
+    apply table-wide at read and must not sneak in via publish), a
+    partitioning scheme different from the main table's (compaction and
+    resume reason about one layout), roots on different filesystem
+    schemes (expiry must be able to delete adopted absolute paths), and
+    incompatible extra-column schema evolution (merge_extra_schema
+    rules).
+
+    ``retire_staging`` (default True) deletes the staging MANIFEST dir
+    after a successful publish: ownership of the data files transfers
+    to the main table, and leaving a second manifest pointing at them
+    would let the staging root's own expiry/GC delete files the main
+    table references. Pass False only if you delete the staging
+    manifests yourself."""
+    from urllib.parse import urlparse
+    from tokencodec.spark.encode_job import (next_chain_max,
+                                             next_extra_schema_chain,
+                                             next_table_totals,
+                                             table_extra_schema)
+
+    if urlparse(main_root).scheme != urlparse(staging_root).scheme:
+        raise ValueError(
+            f"main ({main_root}) and staging ({staging_root}) are on "
+            "different filesystem schemes; expiry could not manage the "
+            "adopted files")
+    src = SnapshotTable(staging_root, fs=fs)
+    s_snap = src.current_snapshot()
+    if s_snap is None:
+        raise ValueError(f"staging table {staging_root} has no "
+                         "committed snapshot")
+    s_groups = src.committed_groups()
+    if any(is_delete_group(k) for k in s_groups):
+        raise ValueError(
+            "staging table carries delete manifests; purge them there "
+            "(purge_deletes) before publishing")
+    sm = s_snap.get("metrics", {})
+    s_totals = sm.get("table_totals")
+    if s_totals is None:
+        raise ValueError(
+            "staging table predates table_totals metrics; re-encode or "
+            "compact it before publishing")
+
+    dst = SnapshotTable(main_root, fs=fs)
+    parent = dst.current_snapshot()
+
+    def _scheme(tbl):
+        return next((s["metrics"]["scheme"] for s in reversed(tbl.chain())
+                     if s.get("metrics", {}).get("scheme")), None)
+
+    s_scheme = _scheme(src)
+    d_scheme = _scheme(dst) if parent is not None else None
+    if parent is not None and d_scheme is not None and s_scheme is not None \
+            and s_scheme != d_scheme:
+        raise ValueError(
+            f"staging partitioning scheme {s_scheme} != main "
+            f"{d_scheme}; encode the staging batch with the main "
+            "table's n_salts/commit_groups")
+
+    s_extra = table_extra_schema(staging_root)
+    # upper bound over the retained staging chain: compaction may have
+    # shrunk real part counts, and an overestimate only makes decode
+    # plan the (correct) reassembly branch conservatively
+    s_parts = max((int(s.get("metrics", {}).get("max_doc_parts", 0))
+                   for s in src.chain()), default=0)
+    m = {
+        "published_from": staging_root,
+        "published_snapshot_id": s_snap["snapshot_id"],
+        "n_chunks": s_totals["n_chunks"],
+        "n_rows": s_totals["n_rows"],
+        "n_tokens": s_totals["n_tokens"],
+        "enc_bytes": s_totals["enc_bytes"],
+        "max_doc_parts": s_parts,
+    }
+    if s_scheme is not None and d_scheme is None:
+        m["scheme"] = s_scheme  # first data on an empty main table
+    if s_extra:
+        m["extra_schema"] = s_extra
+    esc = next_extra_schema_chain(parent, s_extra)
+    if esc is not None:
+        m["extra_schema_chain"] = esc
+    totals = next_table_totals(parent, m)
+    if totals is not None:
+        m["table_totals"] = totals
+    cmax = next_chain_max(parent, s_parts)
+    if cmax is not None:
+        m["max_doc_parts_chain"] = cmax
+    snap = dst.commit(dict(s_groups), metrics=m)
+    if retire_staging:
+        src.fs.delete(src.manifest_dir, recursive=True)
+    return snap
+
+
 def remove_orphan_files(root: str, older_than_hours: float = 24.0,
                         fs=None) -> dict:
     """Delete data/run-* entries referenced by NO snapshot and last
