@@ -2081,6 +2081,69 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+_BLOCKLIST = ("customer", "window", "stream")
+
+
+def q_text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist redaction (the takedown/PII-scrub shape without the
+    regex-dialect trap: exact word membership, so Spark and DuckDB agree
+    symbol-for-symbol): every blocklisted word becomes '[REDACTED]';
+    report per doc the redaction count and the md5 of the scrubbed
+    text. Map-only — no shuffle, no UDF, no word ever leaves its row."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    redacted = F.transform(
+        words, lambda w: F.when(w.isin(*_BLOCKLIST),
+                                F.lit("[REDACTED]")).otherwise(w))
+    n_red = F.size(F.filter(words, lambda w: w.isin(*_BLOCKLIST)))
+    return (d.select("doc_id",
+                     n_red.cast("bigint").alias("n_redacted"),
+                     F.md5(F.concat_ws(" ", redacted)).alias("scrub_md5"))
+            .orderBy("doc_id"))
+
+
+_SQL_BLOCK = ", ".join(repr(w) for w in _BLOCKLIST)
+
+SQL_TEXT_SCRUB_BLOCKLIST = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(ws, x -> x IN ({_SQL_BLOCK}))) AS BIGINT)
+           AS n_redacted,
+       md5(array_to_string(
+           list_transform(ws, x -> CASE WHEN x IN ({_SQL_BLOCK})
+                                        THEN '[REDACTED]' ELSE x END),
+           ' ')) AS scrub_md5
+FROM w ORDER BY doc_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report — the accounting table every ingestion
+    run publishes: doc counts, token volume, mean doc length, and the
+    source's distinct-word vocabulary size. One explode + one grouped
+    aggregate; the distinct count shuffles (source, word) pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", "source",
+                     F.explode(F.split("text", " ")).alias("w"))
+    return (words.groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_words"),
+                 F.round(F.count("*") / F.countDistinct("doc_id"), 4)
+                 .alias("mean_words"),
+                 F.countDistinct("w").alias("vocab"))
+            .orderBy("source"))
+
+
+SQL_CORPUS_STATS = """
+WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS mean_words,
+       count(DISTINCT w) AS vocab
+FROM words GROUP BY source ORDER BY source
+"""
+
+
 def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-assembly composition a training pipeline runs
     before packing: quality gate (20..10000 words) -> exact dedup (keep
@@ -2674,6 +2737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "sample_mixture": q_sample_mixture,
         "sample_split": q_sample_split,
+        "text_scrub_blocklist": q_text_scrub_blocklist,
+        "corpus_stats": q_corpus_stats,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "pack_shuffle_epoch": q_pack_shuffle_epoch,
         "knn_cosine": q_knn_cosine,
@@ -2726,6 +2791,8 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "sample_mixture": SQL_SAMPLE_MIXTURE,
         "sample_split": SQL_SAMPLE_SPLIT,
+        "text_scrub_blocklist": SQL_TEXT_SCRUB_BLOCKLIST,
+        "corpus_stats": SQL_CORPUS_STATS,
         "corpus_filter_pipeline": SQL_CORPUS_FILTER_PIPELINE,
         "pack_shuffle_epoch": SQL_PACK_SHUFFLE_EPOCH,
         "knn_cosine": SQL_KNN_COSINE,
