@@ -49,6 +49,24 @@ def test_publish_merges_and_retires(spark, tmp_path):
     assert decode_job.audit(full, decode_job.decode(spark, main))["ok"]
 
 
+def test_published_groups_are_first_class_for_maintenance(spark, tmp_path):
+    """Adopted groups must behave exactly like natively encoded ones:
+    compaction rewrites them and the audit stays bit-identical."""
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    full, a, b = _halves(spark, 80, seed=17)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=64)
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=64,
+                      group_prefix="h")
+    maintenance.publish_staged(main, stage)
+    pre = SnapshotTable(main).current_snapshot()["metrics"]["table_totals"]
+    maintenance.compact(spark, main, max_chunk_tokens=1 << 20)
+    post = SnapshotTable(main).current_snapshot()["metrics"]["table_totals"]
+    assert post["n_chunks"] < pre["n_chunks"]
+    assert decode_job.audit(full, decode_job.decode(spark, main),
+                            strict=True)["ok"]
+
+
 def test_publish_refuses_uid_namespace_collision(spark, tmp_path):
     main = str(tmp_path / "main")
     stage = str(tmp_path / "stage")

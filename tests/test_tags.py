@@ -109,6 +109,31 @@ def test_expire_keeps_tagged_snapshot_and_files(spark, tmp_path):
         full.unionByName(extra), decode_job.decode(spark, root))["ok"]
 
 
+def test_vector_table_decode_at_tag(spark, tmp_path):
+    """Tags are a table-layer feature: the vector table gets the same
+    time-travel-by-name read, including after an append."""
+    from pyspark.sql import functions as F
+    from tokencodec.spark import vectors
+
+    src = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.col("id") + i).cast("float") / 7.0)
+        .alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"))
+    root = str(tmp_path / "v")
+    vectors.encode_vectors(spark, src.filter("vec_id < 32"), root,
+                           chunk_rows=16)
+    tbl = SnapshotTable(root)
+    tbl.create_tag("v1")
+    vectors.encode_vectors(spark, src.filter("vec_id >= 32"), root,
+                           chunk_rows=16, group="batch2")
+    at_tag = vectors.decode_vectors(spark, root, tag="v1")
+    assert at_tag.count() == 32
+    assert at_tag.agg(F.max("vec_id")).first()[0] == 31
+    assert vectors.decode_vectors(spark, root).count() == 64
+
+
 def test_orphan_gc_spares_offchain_tagged_manifest(spark, tmp_path):
     root, d1, full = _two_commit_root(spark, tmp_path)
     tbl = SnapshotTable(root)

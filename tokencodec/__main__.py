@@ -151,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     vdec.add_argument("out")
     vdec.add_argument("--vec-id-min", type=int)
     vdec.add_argument("--vec-id-max", type=int)
+    vdec.add_argument("--at-tag", help="time travel by tag name")
 
     args = p.parse_args(argv)
     if args.allow_unsafe_root:
@@ -280,7 +281,8 @@ def main(argv: list[str] | None = None) -> int:
             from tokencodec.spark import vectors
             df = vectors.decode_vectors(spark, args.root,
                                         vec_id_min=args.vec_id_min,
-                                        vec_id_max=args.vec_id_max)
+                                        vec_id_max=args.vec_id_max,
+                                        tag=args.at_tag)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "audit":

@@ -228,10 +228,16 @@ def decode_vectors(spark: SparkSession, root: str,
                    vec_id_min: int | None = None,
                    vec_id_max: int | None = None,
                    snapshot_id: int | None = None,
-                   paths: list[str] | None = None) -> DataFrame:
+                   paths: list[str] | None = None,
+                   tag: str | None = None) -> DataFrame:
     """Exact inverse of encode_vectors (bit-identical embeddings).
     Id-range predicates prune whole chunks on the recorded stats before
-    any page is parsed, then re-filter rows."""
+    any page is parsed, then re-filter rows. ``tag`` time-travels by
+    name (same SnapshotTable refs as the token table)."""
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either tag or snapshot_id, not both")
+        snapshot_id = SnapshotTable(root).tag(tag)["snapshot_id"]
     pages = read_vector_pages(spark, root, snapshot_id=snapshot_id,
                               paths=paths)
     if vec_id_min is not None:
