@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="time travel by name: decode the table as of "
                           "the snapshot this tag pins")
 
+    pck = sub.add_parser(
+        "pack", help="pack documents into fixed-length training "
+                     "sequences, committed as a page-format table "
+                     "(doc-span lineage parquet under <out>/lineage)")
+    pck.add_argument("src", help="parquet dir with (doc_id, tokens, "
+                                 "n_tok, source)")
+    pck.add_argument("out", help="packed table root")
+    pck.add_argument("--seq-len", type=int, default=2048)
+
     aud = sub.add_parser(
         "audit",
         help="round-trip equality vs a source table (aggregate hash "
@@ -242,6 +251,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"chunks": m.chunks, "tokens": int(m.tokens),
                               "raw_bytes": int(m.raw), "enc_bytes": int(m.enc),
                               "ratio": round(m.enc / m.raw, 4)}))
+        elif args.cmd == "pack":
+            from tokencodec.spark import packing
+            pages = packing.encode_packed(spark, spark.read.parquet(args.src),
+                                          args.out, seq_len=args.seq_len)
+            from pyspark.sql import functions as F
+            m = pages.agg(F.count("*").alias("chunks"),
+                          F.sum("n_rows").alias("seqs"),
+                          F.sum("n_tokens").alias("tokens")).collect()[0]
+            print(json.dumps({"chunks": m.chunks, "sequences": int(m.seqs),
+                              "tokens": int(m.tokens),
+                              "seq_len": args.seq_len}))
         elif args.cmd == "decode" and args.since_snapshot is not None:
             from tokencodec.spark import decode_job
             df = decode_job.decode_changes(
