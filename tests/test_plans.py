@@ -99,3 +99,34 @@ def test_pack_sequences_plan_has_no_global_window(spark):
     for spec in specs:
         assert re.match(r"windowspecdefinition\(_pid#\d+, ", spec), \
             f"unpartitioned Window in pack plan: {spec}"
+
+
+def test_corpus_pipeline_broadcasts_eval_grams(spark):
+    """The decontamination stage of the corpus-assembly pipeline must
+    match corpus grams against a BROADCAST of the (small) eval gram
+    set — a shuffle of corpus gram rows against the eval set would be
+    the 100-TB bottleneck — and remove contaminated docs with an
+    anti-join."""
+    import __spark_entry__ as entrymod
+    df = entrymod.q_corpus_filter_pipeline(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gram_joins = [ln for ln in plan.splitlines()
+                  if "BroadcastHashJoin" in ln and "s1#" in ln]
+    assert gram_joins, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_epoch_shuffle_window_is_sharded(spark):
+    """The epoch-shuffle permutation must be pinned per (epoch, shard):
+    an unpartitioned Window would funnel every sequence of an epoch
+    through one task."""
+    import re
+
+    import __spark_entry__ as entrymod
+    df = entrymod.q_pack_shuffle_epoch(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df, spark)
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected the per-shard row_number Window"
+    for spec in specs:
+        assert re.match(r"windowspecdefinition\(epoch#\d+, shard#\d+, ",
+                        spec), f"under-partitioned Window: {spec}"
