@@ -109,6 +109,25 @@ def test_expire_keeps_tagged_snapshot_and_files(spark, tmp_path):
         full.unionByName(extra), decode_job.decode(spark, root))["ok"]
 
 
+def test_expire_age_policy_keeps_young_history(spark, tmp_path):
+    """Time-based retention on top of the count: snapshots younger than
+    the cutoff survive (manifest + files + time travel), and a cutoff
+    of zero restores pure count-based behavior."""
+    root, d1, full = _two_commit_root(spark, tmp_path)
+    sid0 = SnapshotTable(root).chain()[0]["snapshot_id"]
+    res = maintenance.expire_snapshots(root, keep_last=1,
+                                       older_than_hours=9999.0)
+    assert res["expired_snapshots"] == 0
+    assert decode_job.audit(
+        d1, decode_job.decode(spark, root, snapshot_id=sid0))["ok"]
+    res2 = maintenance.expire_snapshots(root, keep_last=1,
+                                        older_than_hours=0.0)
+    assert res2["expired_snapshots"] == 1
+    with pytest.raises(FileNotFoundError):
+        decode_job.decode(spark, root, snapshot_id=sid0)
+    assert decode_job.audit(full, decode_job.decode(spark, root))["ok"]
+
+
 def test_vector_table_decode_at_tag(spark, tmp_path):
     """Tags are a table-layer feature: the vector table gets the same
     time-travel-by-name read, including after an append."""

@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
         help="drop old snapshot manifests and delete files only they reference")
     exp.add_argument("root")
     exp.add_argument("--keep-last", type=int, default=2)
+    exp.add_argument("--older-than-hours", type=float,
+                     help="also KEEP any snapshot committed more "
+                          "recently than this (time-based retention on "
+                          "top of the count)")
 
     venc = sub.add_parser(
         "encode-vectors",
@@ -171,7 +175,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "expire-snapshots":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import expire_snapshots
-        print(json.dumps(expire_snapshots(args.root, keep_last=args.keep_last)))
+        print(json.dumps(expire_snapshots(
+            args.root, keep_last=args.keep_last,
+            older_than_hours=args.older_than_hours)))
         return 0
 
     if args.cmd == "remove-orphans":  # manifest-only, no Spark needed

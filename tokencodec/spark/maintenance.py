@@ -888,15 +888,26 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
             "deleted_claim_manifests": deleted_claims}
 
 
-def expire_snapshots(root: str, keep_last: int = 1, fs=None) -> dict:
+def expire_snapshots(root: str, keep_last: int = 1,
+                     older_than_hours: float | None = None,
+                     fs=None) -> dict:
     """Drop all but the last ``keep_last`` snapshots and delete run
     directories referenced only by the dropped ones. Tagged snapshots
     (SnapshotTable.create_tag) are retention holds: their manifests and
     data files survive expiry regardless of age — also when the tagged
     snapshot already sits OUTSIDE the retained parent chain from an
-    earlier expire (a tag is resolvable for as long as it exists)."""
+    earlier expire (a tag is resolvable for as long as it exists).
+
+    ``older_than_hours`` adds Iceberg's time-based retention policy on
+    top of the count: a snapshot committed more recently than the
+    cutoff is kept even beyond ``keep_last`` (its manifest AND files),
+    so "keep the last snapshot plus anything from the past 7 days"
+    expresses directly."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time as _time
+    cutoff_ms = (None if older_than_hours is None
+                 else (_time.time() - older_than_hours * 3600) * 1000)
     tbl = SnapshotTable(root, fs=fs)
     # the committed parent_id chain ONLY: snapshots() would also list
     # claim files from committers that crashed before their CURRENT
@@ -914,8 +925,16 @@ def expire_snapshots(root: str, keep_last: int = 1, fs=None) -> dict:
         return {"expired_snapshots": 0, "deleted_dirs": 0}
     keep = snaps[-keep_last:]
     drop = [s for s in snaps[:-keep_last]
-            if s["snapshot_id"] not in tagged_ids]
-    live = {p for s in keep + tagged
+            if s["snapshot_id"] not in tagged_ids
+            and (cutoff_ms is None
+                 or s.get("timestamp_ms", 0) <= cutoff_ms)]
+    drop_ids = {s["snapshot_id"] for s in drop}
+    # too-young history kept by the age policy pins its files exactly
+    # like the count-retained window does
+    kept_hist = [s for s in snaps[:-keep_last]
+                 if s["snapshot_id"] not in drop_ids
+                 and s["snapshot_id"] not in tagged_ids]
+    live = {p for s in keep + tagged + kept_hist
             for ps in s["groups"].values() for p in ps}
     dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
     for p in sorted(dead):
