@@ -52,6 +52,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _sfkey(sf_dir: str) -> str:
+    """Cache-root key for the sf dir itself. Row counts alone are NOT a
+    safe key: different scale factors can hold the same number of
+    documents with different contents, and a count-keyed /tmp root
+    built from one sf dir would silently serve another's queries."""
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
 # --------------------------------------------------------------------------
 # engine queries (rows-only: binary page payloads are not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -179,7 +187,7 @@ def _docs_root(spark: SparkSession, sf_dir: str) -> str:
     from tokencodec.spark import encode_job
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docs_v2_n{n}"
+    root = f"/tmp/tokencodec_entry/docs_v2_{_sfkey(sf_dir)}_n{n}"
     if root not in _ENGINE_CACHE:
         # unconditional: no-op when complete, resume when partial
         encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
@@ -282,7 +290,7 @@ def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tokencodec.spark import decode_job, encode_job, maintenance
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/cmp_v2_n{n}"
+    root = f"/tmp/tokencodec_entry/cmp_v2_{_sfkey(sf_dir)}_n{n}"
     key = root + "/compacted"
     if key not in _ENGINE_CACHE:
         encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
@@ -511,7 +519,7 @@ def _vectors_root(spark: SparkSession, sf_dir: str) -> str:
     per sf dir (float pages; tokencodec/spark/vectors.py)."""
     from tokencodec.spark import vectors
     n = _t(spark, sf_dir, "embeddings").count()
-    root = f"/tmp/tokencodec_entry/vecs_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/vecs_v1_{_sfkey(sf_dir)}_n{n}"
     if root not in _ENGINE_CACHE:
         vectors.encode_vectors(
             spark, _t(spark, sf_dir, "embeddings"), root, chunk_rows=64)
@@ -581,7 +589,7 @@ def q_engine_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tokencodec.spark import decode_job, streaming
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    base = f"/tmp/tokencodec_entry/stream_v1_n{n}"
+    base = f"/tmp/tokencodec_entry/stream_v1_{_sfkey(sf_dir)}_n{n}"
     src, root = f"{base}/src", f"{base}/enc"
     if SnapshotTable(root).current_snapshot() is None:
         _docs_token_df(spark, sf_dir).write.mode("overwrite").parquet(src)
@@ -606,7 +614,7 @@ def _incr_root(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     from tokencodec.spark import streaming
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/incr_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/incr_v1_{_sfkey(sf_dir)}_n{n}"
     src = root + "_src"
     if root not in _ENGINE_CACHE:
         df = _docs_token_df(spark, sf_dir)
@@ -666,7 +674,7 @@ def _tag_root(spark: SparkSession, sf_dir: str) -> str:
     from tokencodec.spark import maintenance, streaming
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/tag_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/tag_v1_{_sfkey(sf_dir)}_n{n}"
     src = root + "_src"
     if root not in _ENGINE_CACHE:
         df = _docs_token_df(spark, sf_dir)
@@ -729,7 +737,7 @@ def _publish_root(spark: SparkSession, sf_dir: str) -> str:
     from tokencodec.spark import decode_job, encode_job, maintenance
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    base = f"/tmp/tokencodec_entry/wap_v1_n{n}"
+    base = f"/tmp/tokencodec_entry/wap_v1_{_sfkey(sf_dir)}_n{n}"
     main, stage = f"{base}/main", f"{base}/stage"
     if main not in _ENGINE_CACHE:
         df = _docs_token_df(spark, sf_dir)
@@ -779,7 +787,7 @@ def _del_root(spark: SparkSession, sf_dir: str) -> str:
     number ends in 3 is equality-deleted (round-5 row-level deletes)."""
     from tokencodec.spark import encode_job, maintenance
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docsdel_v1_n{n}"
+    root = f"/tmp/tokencodec_entry/docsdel_v1_{_sfkey(sf_dir)}_n{n}"
     if root not in _ENGINE_CACHE:
         encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
                           commit_groups=1, max_chunk_tokens=64,
@@ -839,7 +847,7 @@ def _evo_root(spark: SparkSession, sf_dir: str) -> str:
     float32 can hold."""
     from tokencodec.spark import encode_job
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docsevo_v2_n{n}"
+    root = f"/tmp/tokencodec_entry/docsevo_v2_{_sfkey(sf_dir)}_n{n}"
     if root not in _ENGINE_CACHE:
         t = _docs_token_df(spark, sf_dir)
         num = F.substring("doc_id", 2, 18).cast("bigint")
@@ -909,7 +917,7 @@ def _pack_root(spark: SparkSession, sf_dir: str) -> str:
     packing, VERDICT r4 next #1)."""
     from tokencodec.spark import packing
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/pack_v1_n{n}_L{_PACK_L}"
+    root = f"/tmp/tokencodec_entry/pack_v1_{_sfkey(sf_dir)}_n{n}_L{_PACK_L}"
     if root not in _ENGINE_CACHE:
         packing.encode_packed(spark, _docs_token_df(spark, sf_dir), root,
                               seq_len=_PACK_L, commit_groups=1)
