@@ -1692,8 +1692,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str,
             .orderBy("cluster"))
 
 
-SQL_DEDUP_CLUSTERS = """
-WITH RECURSIVE words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+# shared by SQL_DEDUP_CLUSTERS and SQL_ENGINE_DEDUP_APPLIED: the whole
+# LSH -> exact-Jaccard -> recursive-connected-components restatement,
+# ending in comp(node, cluster)
+_SQL_CC_COMP = """words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 sig AS (SELECT doc_id,
                min(md5('0' || w)) AS mh0, min(md5('1' || w)) AS mh1,
                min(md5('2' || w)) AS mh2, min(md5('3' || w)) AS mh3
@@ -1722,8 +1724,71 @@ cc(node, label) AS (
   UNION
   SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
   WHERE cc.label < e.b),
-comp AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+comp AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_CC_COMP}
 SELECT cluster, count(*) AS n_docs FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
+def _dedup_del_root(spark: SparkSession, sf_dir: str) -> str:
+    """The dedup pipeline APPLIED to the committed table: non-keeper
+    docs of every near-dup cluster (LSH -> exact Jaccard >= 0.9 ->
+    connected components) are equality-deleted from the page-format
+    table — dedup as an actual table operation, not just a report."""
+    from tokencodec.spark import encode_job, maintenance
+    from tokencodec.spark.table import SnapshotTable, is_delete_group
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/dedupdel_v1_{_sfkey(sf_dir)}_n{n}"
+    if root not in _ENGINE_CACHE:
+        encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                          commit_groups=1, direct_write=True)
+        if not any(is_delete_group(k)
+                   for k in SnapshotTable(root).committed_groups()):
+            nodes = (_t(spark, sf_dir, "documents")
+                     .select(F.col("doc_id").alias("node")))
+            pairs = (q_dedup_minhash_lsh(spark, sf_dir)
+                     .filter(F.col("jaccard") >= 0.9))
+            labels, _ = _cc_star(nodes, pairs)
+            losers = (labels.filter(F.col("label") != F.col("node"))
+                      .select(F.format_string("d%09d", "node")
+                              .alias("doc_id")))
+            maintenance.delete_docs(spark, root, losers)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_dedup_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup meets the engine (round 5): the near-dup clustering's
+    non-keepers are committed as equality-deletes on the token table,
+    and the deduplicated DECODE must equal DuckDB recomputing the
+    keeper set with its own recursive connected components — the full
+    loop a training pipeline runs (detect dups -> take down -> read the
+    clean corpus), checked end to end through the page format."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _dedup_del_root(spark, sf_dir))
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_DEDUP_APPLIED = f"""
+WITH RECURSIVE {_SQL_CC_COMP},
+t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t
+WHERE CAST(substring(doc_id, 2) AS BIGINT) IN
+      (SELECT node FROM comp WHERE cluster = node)
+ORDER BY doc_id
 """
 
 
@@ -2714,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_incremental_changes": q_engine_incremental_changes,
         "engine_decode_at_tag": q_engine_decode_at_tag,
         "engine_publish_staged": q_engine_publish_staged,
+        "engine_dedup_applied": q_engine_dedup_applied,
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
         "engine_decode_after_delete": q_engine_decode_after_delete,
@@ -2817,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_decode_at_tag": SQL_ENGINE_DECODE_AT_TAG,
         "engine_publish_staged": SQL_ENGINE_DECODE_ROWS,
+        "engine_dedup_applied": SQL_ENGINE_DEDUP_APPLIED,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,
         "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,
