@@ -1,6 +1,6 @@
 """Pure-numpy codec kernels. No Spark imports allowed in this package."""
 
-from tokencodec.codecs import bitpack, dictionary, delta, for_, plain, rle, varint  # noqa: F401
+from tokencodec.codecs import basepack, bitpack, dictionary, delta, for_, plain, rle, varint  # noqa: F401
 
 # Codec ids used in page headers (stable — persisted on disk).
 PLAIN = 0
@@ -18,6 +18,8 @@ DEFLATED = 9  # second-order wrapper: zlib over a complete inner page
 FPSHUF = 11  # float byte-plane shuffle (Blosc-style transpose)
 ALP = 12  # float decimal packing as int64 page + power-of-ten exponent
 NULLABLE = 13  # validity-bitmap wrapper: bitmap + inner page of non-nulls
+BASEPACK = 14  # base-R k-digit group packing (fractional-bit widths)
+SRLE = 15  # split-stream RLE: run-values page + run-lengths page
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -33,5 +35,7 @@ CODEC_NAMES = {
     FPSHUF: "fpshuf",
     ALP: "alp",
     NULLABLE: "nullable",
+    BASEPACK: "basepack",
+    SRLE: "srle",
 }
 NAME_TO_CODEC = {v: k for k, v in CODEC_NAMES.items()}

@@ -16,13 +16,22 @@ Payload layout:
     varint dict_size
     varint dict_bytes_len | dict payload (delta codec over sorted uniques)
     u8 index_bit_width    | hybrid index stream
+      (index_bit_width 255 = base-packed index stream instead: the
+       basepack codec at R = dict_size — recovers the fractional bit
+       the hybrid's whole-bit width wastes on off-power-of-two
+       cardinalities; chosen by exact-size trial, so the pick is a
+       pure function of content)
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
-from tokencodec.codecs import bitpack, delta, rle, varint
+from tokencodec.codecs import basepack, bitpack, delta, rle, varint
+
+_IDX_BASEPACK = 255
 
 
 def encode(values: np.ndarray) -> tuple[bytes, int]:
@@ -32,6 +41,16 @@ def encode(values: np.ndarray) -> tuple[bytes, int]:
     dict_payload, first, dbw = delta.encode(uniq.astype(np.int64))
     ibw = bitpack.width_for(dict_size - 1)
     idx_payload = rle.encode(inverse.astype(np.uint64), ibw)
+    k, _ = basepack.plan(dict_size)
+    bp_n = basepack.payload_nbytes(len(inverse), dict_size)
+    if k >= 2 and bp_n < len(idx_payload):
+        # wrap-aware: a skewed index stream compresses below its
+        # whole-bit width under the page-level DEFLATE wrap — switch to
+        # basepack only when it also beats that (basepacked bits are
+        # alignment-free and opaque to zlib, so the choice is exclusive)
+        if bp_n < len(zlib.compress(idx_payload, 1)):
+            ibw = _IDX_BASEPACK
+            idx_payload = basepack.encode(inverse.astype(np.int64), 0, dict_size)
     out = b"".join([
         varint.encode(dict_size),
         varint.encode(len(dict_payload)),
@@ -56,5 +75,8 @@ def decode(buf: bytes | memoryview, n_values: int) -> np.ndarray:
     pos += dlen
     ibw = mv[pos]
     pos += 1
-    idx = rle.decode(mv[pos:], ibw, n_values).astype(np.int64)
+    if ibw == _IDX_BASEPACK:
+        idx = basepack.decode(mv[pos:], 0, n_values)
+    else:
+        idx = rle.decode(mv[pos:], ibw, n_values).astype(np.int64)
     return uniq[idx]

@@ -17,7 +17,9 @@ Page layout (codec id GROUPED, kind INT32) — self-contained:
     u32 ids_len   | ids page   (group id per document, int page)
     u32 lens_len  | lens page  (n_tok per document, int page)
     u16 n_groups
-    per group: u8 is_delta_doc | u32 sub_len | sub page
+    per group: u8 model (0 = plain int page, 1 = delta_doc,
+               2 = linear_doc, 3 = zlib-deflated delta_doc)
+               | u32 sub_len | sub page
 
 DELTA_DOC sub pages restart the delta chain at every document boundary
 (doc-first values in their own small page) so cross-document jumps
@@ -28,6 +30,7 @@ never inflate the diff bit width:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -113,7 +116,12 @@ def _doc_classes(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, i
     lc = (card.astype(np.float64) <= 0.9 * take) & (take >= 32)
     keys[lc] = _CLS_LOWCARD[0] * 64 + range_bits[lc]
     keys[nondecr & (lens >= 16) & (changes > 0)] = _CLS_DELTA[0] * 64
-    keys[(changes * 3 < np.maximum(lens - 1, 1)) | (changes == 0)] = _CLS_RUNS[0] * 64
+    # runs class sub-keyed by per-doc range width: constant docs
+    # (range 0, values anywhere in the vocab) must not share a group
+    # with bounded-run docs, or the shared run-values stream pays the
+    # vocab-wide width for every narrow run value
+    rmask = (changes * 3 < np.maximum(lens - 1, 1)) | (changes == 0)
+    keys[rmask] = _CLS_RUNS[0] * 64 + range_bits[rmask]
     nz = lens > 0
     vmin = int(dmin[nz].min()) if nz.any() else 0
     vmax = int(dmax[nz].max()) if nz.any() else 0
@@ -160,6 +168,59 @@ def decode_delta_doc(buf: bytes | memoryview, doc_lengths: np.ndarray) -> np.nda
     return c - base[grp]
 
 
+def encode_linear_doc(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
+    """Per-doc linear model (intercept + integer slope) + residual page.
+
+    Monotone documents are often near-linear (positions, offsets,
+    timestamps): the in-doc diffs hover around one step, so storing
+    (first, step) per doc and a low-range residual stream beats
+    delta-of-diffs, whose zigzag stream still pays the step's bit width
+    on every value. Slope = round((last - first) / (len - 1)) — exact
+    for constant-step data, and residuals stay small for anything
+    near-linear. (Model-based columnar coding per ModelarDB/plaintext
+    LINEAR literature; selection between this and delta_doc is an
+    exact-size trial in encode_tokens_column.)
+
+    Layout: u32 firsts_len | firsts page | u32 steps_len | steps page
+            | residual int64 page (all values, doc-major order)
+    """
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)))
+    nz = doc_lengths > 0
+    starts = offsets[:-1][nz]
+    lens = doc_lengths[nz]
+    firsts = values[starts]
+    lasts = values[starts + lens - 1]
+    steps = np.rint((lasts - firsts) / np.maximum(lens - 1, 1)).astype(np.int64)
+    pos = np.arange(len(values), dtype=np.int64) - np.repeat(starts, lens)
+    pred = np.repeat(firsts, lens) + pos * np.repeat(steps, lens)
+    resid = values - pred
+    firsts_page = pageformat.maybe_deflate(
+        pageformat.encode_int_page(firsts, pageformat.KIND_INT64))
+    steps_page = pageformat.maybe_deflate(
+        pageformat.encode_int_page(steps, pageformat.KIND_INT64))
+    resid_page = pageformat.maybe_deflate(
+        pageformat.encode_int_page(resid, pageformat.KIND_INT64))
+    return b"".join([struct.pack("<I", len(firsts_page)), firsts_page,
+                     struct.pack("<I", len(steps_page)), steps_page,
+                     resid_page])
+
+
+def decode_linear_doc(buf: bytes | memoryview, doc_lengths: np.ndarray) -> np.ndarray:
+    mv = memoryview(buf)
+    (flen,) = struct.unpack_from("<I", mv, 0)
+    firsts = pageformat.decode_int_page(mv[4:4 + flen]).astype(np.int64)
+    p = 4 + flen
+    (slen,) = struct.unpack_from("<I", mv, p)
+    steps = pageformat.decode_int_page(mv[p + 4:p + 4 + slen]).astype(np.int64)
+    resid = pageformat.decode_int_page(mv[p + 4 + slen:]).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)))
+    nz = doc_lengths > 0
+    starts = offsets[:-1][nz]
+    lens = doc_lengths[nz]
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    return np.repeat(firsts, lens) + pos * np.repeat(steps, lens) + resid
+
+
 def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
     """Auto: single page when homogeneous, grouped page when mixed."""
     values = values.astype(np.int64, copy=False)
@@ -185,10 +246,27 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
         pos = _gather_positions(starts[d], lens[d])
         sub_vals = values[pos]
         if key == _CLS_DELTA[0] * 64:
+            # exact-size trial between the two monotone models (both
+            # O(group) encodes; deterministic — function of content).
+            # delta_doc's rle body has no page envelope, so its
+            # second-order wrap is the model-3 flag (zlib over the
+            # whole sub) rather than the transparent page wrap.
             sub = encode_delta_doc(sub_vals, lens[d])
             is_dd = 1
+            if pageformat.deflate_enabled() and len(sub) >= 128:
+                z = zlib.compress(sub, pageformat.DEFLATE_LEVEL)
+                if len(z) <= pageformat.DEFLATE_GAIN * len(sub):
+                    sub, is_dd = z, 3
+            sub_lin = encode_linear_doc(sub_vals, lens[d])
+            if len(sub_lin) < len(sub):
+                sub, is_dd = sub_lin, 2
         else:
-            sub = pageformat.encode_int_page(sub_vals, pageformat.KIND_INT32)
+            # per-sub-page second-order wrap: each class pays/skips the
+            # inflate on its own merits (a whole-grouped-page wrap is
+            # all-or-nothing and goes dark once the incompressible
+            # basepack class dominates the page)
+            sub = pageformat.maybe_deflate(
+                pageformat.encode_int_page(sub_vals, pageformat.KIND_INT32))
             is_dd = 0
         parts.append(bytes([is_dd]))
         parts.append(struct.pack("<I", len(sub)))
@@ -252,8 +330,12 @@ def decode_tokens_column(buf: bytes | memoryview) -> np.ndarray:
         sub = mv[p + 5:p + 5 + sub_len]
         p += 5 + sub_len
         d = np.flatnonzero(gids == g)
-        if is_dd:
+        if is_dd == 1:
             vals = decode_delta_doc(sub, lens[d])
+        elif is_dd == 2:
+            vals = decode_linear_doc(sub, lens[d])
+        elif is_dd == 3:
+            vals = decode_delta_doc(zlib.decompress(sub), lens[d])
         else:
             vals = pageformat.decode_int_page(sub).astype(np.int64)
         pos = _gather_positions(starts[d], lens[d])

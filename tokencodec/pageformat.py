@@ -24,7 +24,7 @@ import zlib
 import numpy as np
 
 from tokencodec import codecs, select, stats
-from tokencodec.codecs import bitpack, delta, dictionary, for_, fsst, plain, rle
+from tokencodec.codecs import basepack, bitpack, delta, dictionary, for_, fsst, plain, rle
 
 MAGIC = b"TCP1"
 _HEADER = struct.Struct("<4sBBBBIqIII")
@@ -74,11 +74,11 @@ def wrap_grouped(payload: bytes, n_values: int) -> bytes:
 # TOKENCODEC_DEFLATE=0 env kill-switch serves encode-CPU-bound
 # deployments (decode reads wrapped pages regardless).
 _DEFLATE_MIN_BYTES = 128
-_DEFLATE_GAIN = 0.95
-_DEFLATE_LEVEL = 1
+DEFLATE_GAIN = _DEFLATE_GAIN = 0.95
+DEFLATE_LEVEL = _DEFLATE_LEVEL = 1
 
 
-def _deflate_enabled() -> bool:
+def deflate_enabled() -> bool:
     # operational kill-switch for encode-CPU-bound deployments (decode
     # always understands wrapped pages regardless of this setting)
     import os
@@ -92,7 +92,7 @@ def maybe_deflate(page: bytes) -> bytes:
     bytes depend on the zlib build — identical within an environment
     (what chunk-byte invariance tests rely on); decode is portable
     regardless."""
-    if len(page) < _DEFLATE_MIN_BYTES or not _deflate_enabled():
+    if len(page) < _DEFLATE_MIN_BYTES or not deflate_enabled():
         return page
     h = read_header(page)
     z = zlib.compress(bytes(page), _DEFLATE_LEVEL)
@@ -155,8 +155,13 @@ def unwrap_nullable(buf: bytes | memoryview,
 # ---------------------------------------------------------------- int pages
 
 def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,
-                    codec: int | None = None) -> bytes:
-    """Auto-select (or force) a codec and encode one int page."""
+                    codec: int | None = None, _srle_ok: bool = True) -> bytes:
+    """Auto-select (or force) a codec and encode one int page.
+
+    _srle_ok=False excludes SRLE from auto-selection — used for SRLE's
+    own sub-pages so run-shaped run-length streams cannot nest
+    unboundedly (one level captures the win; RLE handles the rest).
+    """
     v = values.astype(np.int64, copy=False)
     n = len(v)
     raw_size = n * (4 if kind == KIND_INT32 else 8)
@@ -167,7 +172,7 @@ def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,
         raise ValueError(
             f"value range [{st.vmin}, {st.vmax}] does not fit an INT32 page")
     if codec is None:
-        codec = select.choose_int_codec(st, kind)
+        codec = select.choose_int_codec(st, kind, allow_srle=_srle_ok)
 
     if codec == codecs.CONSTANT:
         return _wrap(codec, kind, 0, n, st.vmin, raw_size, b"")
@@ -187,6 +192,20 @@ def encode_int_page(values: np.ndarray, kind: int = KIND_INT32,
         return _wrap(codec, kind, bw, n, first, raw_size, payload)
     if codec == codecs.DICT:
         payload, _ = dictionary.encode(v)
+        return _wrap(codec, kind, 0, n, 0, raw_size, payload)
+    if codec == codecs.BASEPACK:
+        R = st.vmax - st.vmin + 1
+        _, gbits = basepack.plan(R)
+        return _wrap(codec, kind, gbits, n, st.vmin, raw_size,
+                     basepack.encode(v, st.vmin, R))
+    if codec == codecs.SRLE:
+        neq = v[1:] != v[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        run_vals = v[starts]
+        run_lens = np.diff(np.concatenate((starts, [n])))
+        vp = encode_int_page(run_vals, kind, _srle_ok=False)
+        lp = encode_int_page(run_lens, KIND_INT32, _srle_ok=False)
+        payload = struct.pack("<I", len(vp)) + vp + lp
         return _wrap(codec, kind, 0, n, 0, raw_size, payload)
     raise ValueError(f"unknown int codec {codec}")
 
@@ -215,6 +234,13 @@ def decode_int_page(buf: bytes | memoryview, check_crc: bool = True) -> np.ndarr
         out = delta.decode(mv, ref, bw, n)
     elif codec == codecs.DICT:
         out = dictionary.decode(mv, n)
+    elif codec == codecs.BASEPACK:
+        out = basepack.decode(mv, ref, n)
+    elif codec == codecs.SRLE:
+        (vlen,) = struct.unpack_from("<I", mv, 0)
+        run_vals = decode_int_page(mv[4:4 + vlen], check_crc=check_crc).astype(np.int64)
+        run_lens = decode_int_page(mv[4 + vlen:], check_crc=check_crc).astype(np.int64)
+        out = np.repeat(run_vals, run_lens)
     elif codec == codecs.GROUPED:
         from tokencodec import grouped
         out = grouped.decode_tokens_column(buf)

@@ -33,6 +33,8 @@ class IntStats:
     card_est: int             # estimated distinct count
     card_exact: bool
     entropy_bits: float       # sampled Shannon entropy of values (bits/value)
+    run_len_bits: int = 0     # exact bit width of the longest run (0 =
+                              # not computed: data is not run-shaped)
 
 
 def int_stats(values: np.ndarray) -> IntStats:
@@ -53,8 +55,10 @@ def int_stats(values: np.ndarray) -> IntStats:
         starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
         lengths = np.diff(np.concatenate((starts, [n])))
         run_coverage = int(lengths[lengths >= 8].sum())
+        run_len_bits = int(lengths.max()).bit_length()
     else:
         run_coverage = 0
+        run_len_bits = 0
 
     d = np.diff(v)
     # width of the actual zigzag stream, computed in uint64 space — a
@@ -84,4 +88,5 @@ def int_stats(values: np.ndarray) -> IntStats:
         card = min(int(d_s * (1 + np.log2(max(n / s, 1)))), vmax - vmin + 1, n)
     p = cnt / s
     entropy = float(-(p * np.log2(p)).sum())
-    return IntStats(n, vmin, vmax, n_runs, run_coverage, zz_delta_bits, max(card, d_s), exact, entropy)
+    return IntStats(n, vmin, vmax, n_runs, run_coverage, zz_delta_bits,
+                    max(card, d_s), exact, entropy, run_len_bits)
