@@ -782,6 +782,63 @@ def q_engine_publish_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _branch_root(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish on ONE root via a mutable branch ref (round
+    5b, Iceberg branches): docs with number % 3 == 1 encoded to main, a
+    branch forked from that snapshot, the REST encoded ONTO THE BRANCH
+    (shared data dir, isolated snapshot chain), audited there, then
+    fast-forwarded into main by publish_branch's metadata-only commit."""
+    from tokencodec.spark import decode_job, encode_job, maintenance
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/brwap_v1_{_sfkey(sf_dir)}_n{n}"
+    if root not in _ENGINE_CACHE:
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("bigint")
+        tbl = SnapshotTable(root)
+        if tbl.current_snapshot() is None:
+            encode_job.encode(spark, df.filter(num % 3 == 1), root,
+                              commit_groups=1, direct_write=True)
+        if not any(k.startswith("h") for k in tbl.committed_groups()):
+            if not any(b["name"] == "wap" for b in tbl.branches()):
+                tbl.create_branch("wap")
+            base_rows = decode_job.decode(spark, root).count()
+            encode_job.encode(spark, df.filter(num % 3 != 1), root,
+                              commit_groups=1, direct_write=True,
+                              group_prefix="h", branch="wap")
+            # isolation: main must not see branch commits pre-publish
+            if decode_job.decode(spark, root).count() != base_rows:
+                raise RuntimeError("branch leaked into main before publish")
+            # the AUDIT of write-audit-publish, against the branch handle
+            if not decode_job.audit(
+                    df, decode_job.decode(spark, root, branch="wap"))["ok"]:
+                raise RuntimeError("branch audit failed; not publishing")
+            maintenance.publish_branch(root, "wap", drop=True)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-based write-audit-publish under the oracle: two thirds of
+    the corpus land on a branch of the SAME table root (no second
+    table), are audited against the branch handle in isolation, and
+    fast-forward into main as ONE metadata-only commit
+    (maintenance.publish_branch). Main must decode to EXACTLY the full
+    corpus, which DuckDB recomputes from `documents` (same tok_sum +
+    md5 protocol as engine_decode_rows)."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _branch_root(spark, sf_dir))
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+        .orderBy("doc_id"))
+
+
 def _del_root(spark: SparkSession, sf_dir: str) -> str:
     """A docs-derived root with a committed takedown: every doc whose
     number ends in 3 is equality-deleted (round-5 row-level deletes)."""
@@ -2779,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_incremental_changes": q_engine_incremental_changes,
         "engine_decode_at_tag": q_engine_decode_at_tag,
         "engine_publish_staged": q_engine_publish_staged,
+        "engine_branch_wap": q_engine_branch_wap,
         "engine_dedup_applied": q_engine_dedup_applied,
         "engine_pack_sequences": q_engine_pack_sequences,
         "engine_pack_lineage": q_engine_pack_lineage,
@@ -2883,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_decode_at_tag": SQL_ENGINE_DECODE_AT_TAG,
         "engine_publish_staged": SQL_ENGINE_DECODE_ROWS,
+        "engine_branch_wap": SQL_ENGINE_DECODE_ROWS,
         "engine_dedup_applied": SQL_ENGINE_DEDUP_APPLIED,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,
         "engine_pack_lineage": SQL_ENGINE_PACK_LINEAGE,

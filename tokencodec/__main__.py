@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("out", help="snapshot table root")
     enc.add_argument("--commit-groups", type=int, default=2)
     enc.add_argument("--max-chunk-tokens", type=int, default=1 << 20)
+    enc.add_argument("--branch", default=None,
+                     help="commit onto this branch instead of main "
+                     "(create with the branch subcommand first)")
+    enc.add_argument("--group-prefix", default="g",
+                     help="commit-group key prefix (fresh prefix = append "
+                     "a new batch)")
 
     dec = sub.add_parser("decode", help="decode a snapshot table back to parquet")
     dec.add_argument("root")
@@ -49,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
                                        "(chunk pruning + row re-filter)")
     dec.add_argument("--n-tok-min", type=int)
     dec.add_argument("--n-tok-max", type=int)
+    dec.add_argument("--branch", default=None,
+                     help="read the named branch instead of main")
     dec.add_argument("--at-tag",
                      help="time travel by name: decode the table as of "
                           "the snapshot this tag pins")
@@ -75,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
 
     fs = sub.add_parser("fsck", help="verify CRCs + counts of every committed chunk")
     fs.add_argument("root")
+    fs.add_argument("--branch", default=None,
+                     help="fsck the named branch (pre-publish audit)")
 
     snaps = sub.add_parser("snapshots", help="list committed snapshots")
     snaps.add_argument("root")
@@ -94,6 +104,33 @@ def main(argv: list[str] | None = None) -> int:
 
     ltag = sub.add_parser("tags", help="list tags")
     ltag.add_argument("root")
+
+    brc = sub.add_parser(
+        "branch", help="fork a mutable branch from a snapshot: the "
+        "write-audit-publish workflow on one table root (encode "
+        "--branch, fsck --branch, then publish-branch)")
+    brc.add_argument("root")
+    brc.add_argument("name")
+    brc.add_argument("--snapshot-id", type=int, default=None,
+                     help="fork point (default: current snapshot)")
+
+    dbr = sub.add_parser("drop-branch", help="remove a branch's manifest "
+                         "chain (shared data files stay; branch-only files "
+                         "fall to remove-orphans)")
+    dbr.add_argument("root")
+    dbr.add_argument("name")
+
+    lbr = sub.add_parser("branches", help="list branches")
+    lbr.add_argument("root")
+
+    pbr = sub.add_parser(
+        "publish-branch", help="fast-forward main to a branch's appended "
+        "groups in one metadata-only commit (append-only branch history "
+        "required)")
+    pbr.add_argument("root")
+    pbr.add_argument("name")
+    pbr.add_argument("--drop", action="store_true",
+                     help="drop the branch after a successful publish")
 
     pub = sub.add_parser(
         "publish", help="write-audit-publish: adopt an audited staging "
@@ -200,7 +237,9 @@ def main(argv: list[str] | None = None) -> int:
                "table_totals": snap.get("metrics", {}).get("table_totals"),
                "max_doc_parts": None,
                "n_snapshots": len(tbl.snapshots()),
-               "tags": {r["name"]: r["snapshot_id"] for r in tbl.tags()}}
+               "tags": {r["name"]: r["snapshot_id"] for r in tbl.tags()},
+               "branches": {b["name"]: b["head_snapshot_id"]
+                            for b in tbl.branches()}}
         from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
         out["max_doc_parts"] = _max_doc_parts_from_manifest(args.root, None)
         print(json.dumps(out))
@@ -223,6 +262,34 @@ def main(argv: list[str] | None = None) -> int:
         from tokencodec.spark.table import SnapshotTable
         for ref in SnapshotTable(args.root).tags():
             print(json.dumps(ref))
+        return 0
+
+    if args.cmd == "branch":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        fork = SnapshotTable(args.root).create_branch(
+            args.name, snapshot_id=args.snapshot_id)
+        print(json.dumps({"name": args.name,
+                          "forked_from": fork["metrics"]["forked_from"]}))
+        return 0
+
+    if args.cmd == "drop-branch":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        SnapshotTable(args.root).drop_branch(args.name)
+        print(json.dumps({"dropped": args.name}))
+        return 0
+
+    if args.cmd == "branches":  # manifest-only, no Spark needed
+        from tokencodec.spark.table import SnapshotTable
+        for b in SnapshotTable(args.root).branches():
+            print(json.dumps(b))
+        return 0
+
+    if args.cmd == "publish-branch":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import publish_branch
+        snap = publish_branch(args.root, args.name, drop=args.drop)
+        print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                          "groups": sorted(snap["groups"]),
+                          "metrics": snap["metrics"]}))
         return 0
 
     if args.cmd == "publish":  # manifest-only, no Spark needed
@@ -249,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
             from tokencodec.spark import encode_job
             pages = encode_job.encode_from_parquet(
                 spark, args.src, args.out, commit_groups=args.commit_groups,
-                max_chunk_tokens=args.max_chunk_tokens)
+                max_chunk_tokens=args.max_chunk_tokens,
+                group_prefix=args.group_prefix, branch=args.branch)
             from pyspark.sql import functions as F
             m = pages.agg(F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens"),
                           F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
@@ -286,7 +354,7 @@ def main(argv: list[str] | None = None) -> int:
                                             if args.sources else None),
                                    n_tok_min=args.n_tok_min,
                                    n_tok_max=args.n_tok_max,
-                                   tag=args.at_tag)
+                                   tag=args.at_tag, branch=args.branch)
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.cmd == "encode-vectors":
@@ -350,11 +418,12 @@ def main(argv: list[str] | None = None) -> int:
             from tokencodec.spark import fsck
             from tokencodec.spark.table import SnapshotTable
             # auto-detect the table kind from the manifest alone
-            groups = SnapshotTable(args.root).committed_groups()
+            groups = SnapshotTable(args.root,
+                                   branch=args.branch).committed_groups()
             if set(groups) == {"vectors"}:
                 rep = fsck.fsck_vectors(spark, args.root)
             else:
-                rep = fsck.fsck(spark, args.root)
+                rep = fsck.fsck(spark, args.root, branch=args.branch)
             bad = rep.filter(~F.col("ok"))
             n_bad = bad.count()
             for r in bad.limit(20).collect():

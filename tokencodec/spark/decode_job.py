@@ -393,7 +393,8 @@ def _out_ddl(cols: list[str], packed: bool, extras: tuple = ()) -> str:
                      + [f"{n} {t}" for n, t in extras])
 
 
-def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | None:
+def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None,
+                                 branch: str | None = None) -> int | None:
     """Max doc_parts over the target snapshot's ancestry, read from
     manifest JSON only (no Spark job). Walks parent_id links — NOT the
     id<=target set, which would both miss expired ancestors (silently
@@ -404,7 +405,7 @@ def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | No
     O(1) reads on any table written since the field landed. Returns
     None — callers then probe — when the chain predates the metrics or
     was truncated by snapshot expiry before a cumulative field."""
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, branch=branch)
     snap = (tbl.current_snapshot() if snapshot_id is None
             else tbl.snapshot(snapshot_id))
     if snap is None:
@@ -429,13 +430,14 @@ def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None) -> int | No
 
 
 def _delete_ids(spark: SparkSession, root: str,
-                snapshot_id: int | None) -> DataFrame | None:
+                snapshot_id: int | None,
+                branch: str | None = None) -> DataFrame | None:
     """Deleted doc_ids recorded by the target snapshot's DELETE
     manifests (maintenance.delete_docs), or None when there are none.
     Time travel honors history: a snapshot before the delete commit has
     no del: groups and still shows the rows."""
     from tokencodec.spark.table import SnapshotTable, is_delete_group
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, branch=branch)
     snap = (tbl.current_snapshot() if snapshot_id is None
             else tbl.snapshot(snapshot_id))
     if snap is None:
@@ -456,7 +458,8 @@ def decode(spark: SparkSession, root: str,
            n_tok_min: int | None = None,
            n_tok_max: int | None = None,
            paths: list[str] | None = None,
-           tag: str | None = None) -> DataFrame:
+           tag: str | None = None,
+           branch: str | None = None) -> DataFrame:
     """Decode committed pages; optional chunk pruning + page projection.
 
     Data skipping the reference lacks entirely (it always decodes every
@@ -482,13 +485,13 @@ def decode(spark: SparkSession, root: str,
         if snapshot_id is not None:
             raise ValueError("pass either tag or snapshot_id, not both")
         from tokencodec.spark.table import SnapshotTable
-        snapshot_id = SnapshotTable(root).tag(tag)["snapshot_id"]
+        snapshot_id = SnapshotTable(root, branch=branch).tag(tag)["snapshot_id"]
 
     # schema evolution: extra columns declared anywhere on the chain are
     # part of the logical schema — default projection includes them, and
     # chunks predating a column back-fill NULL (manifest-only resolution)
     from tokencodec.spark.encode_job import table_extra_schema
-    extra_schema = table_extra_schema(root, snapshot_id)
+    extra_schema = table_extra_schema(root, snapshot_id, branch=branch)
     req = (list(ALL_COLUMNS) + sorted(extra_schema)
            if columns is None else list(columns))
     bad = [c for c in req if c not in ALL_COLUMNS and c not in extra_schema]
@@ -512,14 +515,16 @@ def decode(spark: SparkSession, root: str,
     # (decode_changes) are scoped by their caller and skip them — an
     # incremental consumer sees appends only; delete commits are not a
     # changelog event in this engine.
-    dels = None if paths is not None else _delete_ids(spark, root, snapshot_id)
+    dels = None if paths is not None else _delete_ids(spark, root, snapshot_id,
+                                                      branch=branch)
     needs_doc = (doc_id_min is not None or doc_id_max is not None
                  or dels is not None
                  or "tokens" in cols or "n_tok" in cols)
     if needs_doc and "doc_id" not in cols:
         cols = ["doc_id"] + cols
 
-    pages = read_pages(spark, root, snapshot_id=snapshot_id, paths=paths)
+    pages = read_pages(spark, root, snapshot_id=snapshot_id, paths=paths,
+                       branch=branch)
     if doc_id_min is not None:
         pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
     if doc_id_max is not None:
@@ -563,7 +568,7 @@ def decode(spark: SparkSession, root: str,
     # alone — building a decode plan over a 100-TB table must not run a
     # metadata scan job. Legacy tables (commits predating the metric)
     # fall back to a one-column probe job.
-    max_parts = _max_doc_parts_from_manifest(root, snapshot_id)
+    max_parts = _max_doc_parts_from_manifest(root, snapshot_id, branch=branch)
     if max_parts is None:
         max_parts = pages.agg(F.max("doc_parts")).collect()[0][0]
     any_split = bool(max_parts and max_parts > 1)

@@ -427,11 +427,12 @@ def next_extra_schema_chain(parent: dict | None, this_schema: dict) -> dict | No
     return dict(this_schema)
 
 
-def table_extra_schema(root: str, snapshot_id: int | None = None) -> dict[str, str]:
+def table_extra_schema(root: str, snapshot_id: int | None = None,
+                       branch: str | None = None) -> dict[str, str]:
     """The merged extra-column schema visible at a snapshot: the chain
     field when present, else a walk over the retained chain's
     per-commit declarations."""
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, branch=branch)
     chain = tbl.chain(snapshot_id)
     if not chain:
         return {}
@@ -565,8 +566,14 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
            parquet_codec: str = "zstd",
            direct_write: bool = False,
            extra_metrics: dict | None = None,
-           group_prefix: str = "g") -> DataFrame:
+           group_prefix: str = "g",
+           branch: str | None = None) -> DataFrame:
     """Run the encode pipeline with snapshot commits; returns pages DF.
+
+    ``branch`` commits onto a named branch (SnapshotTable.create_branch)
+    instead of main — the write-audit-publish path: encode here, audit
+    the branch handle, then maintenance.publish_branch fast-forwards
+    main. Data files land in the shared {root}/data either way.
 
     ``extra_metrics`` entries are merged into every group commit's
     metrics (caller-level provenance, e.g. packing parameters).
@@ -615,12 +622,12 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                 f"{sorted(_EXTRA_KINDS)}); drop it or cast before encode")
         extra_schema[f.name] = t
     extra_cols = tuple(sorted(extra_schema.items()))
-    tbl = SnapshotTable(out_root)
+    tbl = SnapshotTable(out_root, branch=branch)
     done = set(tbl.committed_groups())
     remaining = [g for g in range(commit_groups)
                  if f"{group_prefix}{g}" not in done]
     if not remaining:
-        return read_pages(spark, out_root)
+        return read_pages(spark, out_root, branch=branch)
     if n_salts is None:
         n_salts = part.salts_for(df.count())
     # resume safety: group membership is salt(n_salts) % commit_groups,
@@ -705,7 +712,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             parent = tbl.commit(
                 {f"{group_prefix}{g}": sorted(r["file"] for r in rows)},
                 metrics=m)
-        return read_pages(spark, out_root)
+        return read_pages(spark, out_root, branch=branch)
     encoder = make_encoder(max_chunk_tokens, commit_groups=commit_groups,
                            extra_cols=extra_cols, group_prefix=group_prefix)
     pages = bucketed.select(sel_cols).mapInArrow(encoder, PAGES_DDL)
@@ -774,7 +781,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
         m["pass_wall_sec"] = round(wall, 3)
         m["pass_groups"] = len(remaining)
         parent = tbl.commit({f"{group_prefix}{g}": [gdir]}, metrics=m)
-    return read_pages(spark, out_root)
+    return read_pages(spark, out_root, branch=branch)
 
 
 def _sweep_orphans(fs, run_dir: str, keep: set[str]) -> list[str]:
@@ -969,7 +976,8 @@ def encode_from_parquet(spark: SparkSession, src_dir: "str | list[str]",
 
 def read_pages(spark: SparkSession, root: str,
                snapshot_id: int | None = None,
-               paths: list[str] | None = None) -> DataFrame:
+               paths: list[str] | None = None,
+               branch: str | None = None) -> DataFrame:
     """Pages of the current snapshot, or of ``snapshot_id`` (time
     travel: snapshots are immutable, so any historical table state
     stays readable until its files are garbage-collected). An explicit
@@ -979,7 +987,7 @@ def read_pages(spark: SparkSession, root: str,
         if not paths:
             return spark.createDataFrame([], PAGES_DDL)
         return spark.read.schema(PAGES_DDL).parquet(*paths)
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, branch=branch)
     # distinguish "never committed" (an error) from "validly committed
     # empty table" (all groups empty — a legal state a resumed job must
     # be able to read): tbl.snapshot() raises on unknown snapshot_id

@@ -121,8 +121,9 @@ def fsck_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             names=["chunk_uid", "ok", "error", "n_rows", "n_tokens", "crc_checked"])
 
 
-def fsck(spark: SparkSession, root: str) -> DataFrame:
-    pages = read_pages(spark, root).select(_COLS)
+def fsck(spark: SparkSession, root: str,
+         branch: str | None = None) -> DataFrame:
+    pages = read_pages(spark, root, branch=branch).select(_COLS)
     return pages.mapInArrow(fsck_batches, REPORT_DDL)
 
 

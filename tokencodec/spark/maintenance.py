@@ -803,6 +803,103 @@ def publish_staged(main_root: str, staging_root: str,
     return snap
 
 
+def publish_branch(root: str, name: str, drop: bool = False,
+                   fs=None) -> dict:
+    """Fast-forward the main table to a branch (SnapshotTable.
+    create_branch): adopt every group the branch APPENDED since its
+    fork in ONE metadata-only commit on main. The write-audit-publish
+    workflow without a second table root — encode onto the branch,
+    audit/fsck the branch handle in isolation, publish.
+
+    Append-only by contract: a branch history that REWROTE a group it
+    shares with main (compaction, purge_deletes) or that carries delete
+    manifests is refused — those mutate shared state and cannot be
+    adopted as an append. Main may have advanced since the fork; the
+    adoption then lands on the new head (groups collide → commit's
+    duplicate-key refusal fires, exactly like publish_staged).
+
+    ``drop=True`` removes the branch's manifest chain after a
+    successful publish. The default keeps it (an Iceberg fast-forward
+    leaves the branch in place); either way the data files are shared
+    with main, so nothing is moved or re-owned."""
+    from tokencodec.spark.encode_job import (next_chain_max,
+                                             next_extra_schema_chain,
+                                             next_table_totals,
+                                             table_extra_schema)
+
+    main = SnapshotTable(root, fs=fs)
+    br = SnapshotTable(root, fs=fs, branch=name)
+    head = br.current_snapshot()
+    fork = br.snapshot(0)
+    fork_groups = fork["groups"]
+    head_groups = br.committed_groups()
+    mutated = [k for k in head_groups
+               if k in fork_groups and head_groups[k] != fork_groups[k]]
+    dropped = [k for k in fork_groups if k not in head_groups]
+    if mutated or dropped:
+        raise ValueError(
+            f"branch {name!r} rewrote shared groups "
+            f"(mutated={sorted(mutated)[:3]}, dropped={sorted(dropped)[:3]}); "
+            "publish adopts appends only — re-fork and re-encode, or run "
+            "the rewrite on main directly")
+    delta = {k: v for k, v in head_groups.items() if k not in fork_groups}
+    if any(is_delete_group(k) for k in delta):
+        raise ValueError(
+            f"branch {name!r} carries delete manifests; deletes apply "
+            "table-wide at read and must be issued on main, not "
+            "published from a branch")
+    if not delta:
+        raise ValueError(f"branch {name!r} has no appended groups to publish")
+
+    hm = head.get("metrics", {})
+    fm = fork.get("metrics", {})
+    h_tot, f_tot = hm.get("table_totals"), fm.get("table_totals")
+    if h_tot is None or f_tot is None:
+        raise ValueError(
+            f"branch {name!r} predates table_totals metrics; re-fork it")
+    parent = main.current_snapshot()
+    b_parts = max((int(s.get("metrics", {}).get("max_doc_parts", 0))
+                   for s in br.chain()), default=0)
+    b_parts = max(b_parts, int(hm.get("max_doc_parts_chain", 0)))
+    b_extra = table_extra_schema(root, branch=name)
+    m = {
+        "published_branch": name,
+        "published_snapshot_id": head["snapshot_id"],
+        "n_chunks": h_tot["n_chunks"] - f_tot["n_chunks"],
+        "n_rows": h_tot["n_rows"] - f_tot["n_rows"],
+        "n_tokens": h_tot["n_tokens"] - f_tot["n_tokens"],
+        "enc_bytes": h_tot["enc_bytes"] - f_tot["enc_bytes"],
+        "max_doc_parts": b_parts,
+    }
+    if b_extra:
+        m["extra_schema"] = b_extra
+    esc = next_extra_schema_chain(parent, b_extra)
+    if esc is not None:
+        m["extra_schema_chain"] = esc
+    totals = next_table_totals(parent, m)
+    if totals is not None:
+        m["table_totals"] = totals
+    cmax = next_chain_max(parent, b_parts)
+    if cmax is not None:
+        m["max_doc_parts_chain"] = cmax
+    snap = main.commit(delta, metrics=m)
+    if drop:
+        main.drop_branch(name)
+    return snap
+
+
+def _branch_live_paths(tbl: SnapshotTable) -> set[str]:
+    """Every data path referenced by ANY snapshot of ANY branch of
+    ``tbl`` — branches are retention holds for GC/expiry, like tags."""
+    live: set[str] = set()
+    for b in tbl.branches():
+        br = SnapshotTable(tbl.root, fs=tbl.fs, branch=b["name"])
+        for s in br.snapshots():
+            for ps in s["groups"].values():
+                live.update(ps)
+    return live
+
+
 def remove_orphan_files(root: str, older_than_hours: float = 24.0,
                         fs=None) -> dict:
     """Delete data/run-* entries referenced by NO snapshot and last
@@ -870,9 +967,12 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
     referenced: set[str] = set()
     for s in tbl.snapshots():
         for ps in s["groups"].values():
-            for p in ps:
-                referenced.add(p)
-                referenced.add(p.rsplit("/", 1)[0])  # file's run dir
+            referenced.update(ps)
+    # branch chains share {root}/data: their run dirs are referenced,
+    # not orphans (a branch is a retention hold, like a tag)
+    referenced |= _branch_live_paths(tbl)
+    for p in list(referenced):
+        referenced.add(p.rsplit("/", 1)[0])  # file's run dir
     data_dir = posixpath.join(root, "data")
     deleted = 0
     if tbl.fs.exists(data_dir):
@@ -936,6 +1036,10 @@ def expire_snapshots(root: str, keep_last: int = 1,
                  and s["snapshot_id"] not in tagged_ids]
     live = {p for s in keep + tagged + kept_hist
             for ps in s["groups"].values() for p in ps}
+    # branch chains pin their data files through main-table expiry: a
+    # fork references the base groups, so expiring main history never
+    # deletes files a branch can still read
+    live |= _branch_live_paths(tbl)
     dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
     for p in sorted(dead):
         tbl.fs.delete(p, recursive=True)

@@ -78,11 +78,31 @@ def is_delete_group(key: str) -> bool:
 
 
 class SnapshotTable:
-    def __init__(self, root: str, fs=None, allow_unsafe: bool | None = None):
+    def __init__(self, root: str, fs=None, allow_unsafe: bool | None = None,
+                 branch: str | None = None):
+        """``branch`` opens the table AT a named branch (create_branch):
+        same root, same data directory, but the snapshot chain lives in
+        ``_manifest/branch-<name>/`` — commits/reads against the handle
+        are commits/reads of that branch only. The branch must already
+        exist (its fork snapshot is its existence token)."""
         self.root = root
         self.fs = fs if fs is not None else fs_for(root, allow_unsafe=allow_unsafe)
-        self.manifest_dir = posixpath.join(root, "_manifest")
-        self.fs.mkdirs(self.manifest_dir)
+        self.branch = branch
+        base = posixpath.join(root, "_manifest")
+        if branch is None:
+            self.manifest_dir = base
+            self.fs.mkdirs(self.manifest_dir)
+        else:
+            if not _TAG_NAME_RE.match(branch):
+                raise ValueError(f"invalid branch name {branch!r}")
+            self.manifest_dir = posixpath.join(base, f"branch-{branch}")
+            if not self.fs.exists(self._snap_path_in(self.manifest_dir, 0)):
+                raise FileNotFoundError(
+                    f"no branch {branch!r} under {root} (create_branch first)")
+
+    @staticmethod
+    def _snap_path_in(manifest_dir: str, snapshot_id: int) -> str:
+        return posixpath.join(manifest_dir, f"snapshot-{snapshot_id:06d}.json")
 
     # -------------------------------------------------------------- reads
     def _snap_path(self, snapshot_id: int) -> str:
@@ -263,6 +283,109 @@ class SnapshotTable:
                 continue
             if isinstance(ref, dict) and "name" in ref and "snapshot_id" in ref:
                 out.append(ref)
+        out.sort(key=lambda r: r["name"])
+        return out
+
+    # ----------------------------------------------------------- branches
+    # Mutable named refs with their own snapshot chain (Iceberg
+    # branches): the write-audit-publish workflow without a second
+    # table root. A branch forks from a base snapshot — its snapshot 0
+    # carries the base group map verbatim plus the cumulative chain
+    # metrics (table_totals / extra_schema_chain / max_doc_parts_chain /
+    # scheme), so encode/decode/fsck against the branch handle behave
+    # exactly like the main table, including incremental totals. Data
+    # files are SHARED: branch run dirs land in the same {root}/data,
+    # and expiry/orphan-GC on the main table treat every branch chain
+    # as live (a branch is a retention hold, like a tag). Publishing
+    # (maintenance.publish_branch) fast-forwards main by adopting the
+    # branch's appended groups in one metadata-only commit.
+
+    def _branch_dir(self, name: str) -> str:
+        return posixpath.join(posixpath.join(self.root, "_manifest"),
+                              f"branch-{name}")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Fork ``name`` from a snapshot (default: the current one).
+        Race-safe: the branch's fork manifest is create-exclusive, so
+        two creators of the same name see exactly one winner."""
+        if self.branch is not None:
+            raise ValueError("cannot create a branch from a branch handle")
+        if not _TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid branch name {name!r}: need a single path-safe "
+                "segment matching [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+        base = (self.current_snapshot() if snapshot_id is None
+                else self.snapshot(snapshot_id))
+        if base is None:
+            raise ValueError(f"cannot branch an empty table at {self.root}")
+        # carry the cumulative chain metrics into the fork so branch
+        # commits keep accumulating totals / schema / doc-part bounds
+        carried: dict = {}
+        bm = base.get("metrics", {})
+        for k in ("table_totals", "extra_schema_chain", "max_doc_parts_chain"):
+            if k in bm:
+                carried[k] = bm[k]
+        scheme = next((s["metrics"]["scheme"]
+                       for s in reversed(self.chain(base["snapshot_id"]))
+                       if s.get("metrics", {}).get("scheme")), None)
+        if scheme is not None:
+            carried["scheme"] = scheme
+        fork = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "groups": dict(base["groups"]),
+            "new_groups": [],
+            "metrics": {"branch": name,
+                        "forked_from": base["snapshot_id"], **carried},
+        }
+        bdir = self._branch_dir(name)
+        self.fs.mkdirs(bdir)
+        try:
+            self.fs.create_excl(self._snap_path_in(bdir, 0),
+                                json.dumps(fork, indent=1))
+        except FileExistsError:
+            raise ValueError(
+                f"branch {name!r} already exists (drop_branch first "
+                "to re-fork it)") from None
+        self.fs.write_atomic(posixpath.join(bdir, "CURRENT"),
+                             "snapshot-000000.json")
+        return fork
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch's manifest chain. Shared data files stay —
+        any the branch alone referenced become unreferenced and fall to
+        the age-guarded remove_orphan_files."""
+        if self.branch is not None:
+            raise ValueError("cannot drop a branch from a branch handle")
+        bdir = self._branch_dir(name)
+        if not self.fs.exists(self._snap_path_in(bdir, 0)):
+            raise FileNotFoundError(f"no branch {name!r} under {self.root}")
+        self.fs.delete(bdir, recursive=True)
+
+    def branches(self) -> list[dict]:
+        """Each live branch's fork metadata plus its current head id,
+        sorted by name. Malformed branch dirs are skipped."""
+        if self.branch is not None:
+            return []
+        base = posixpath.join(self.root, "_manifest")
+        out = []
+        for fname in self.fs.listdir(base):
+            if not fname.startswith("branch-"):
+                continue
+            name = fname[len("branch-"):]
+            try:
+                b = SnapshotTable(self.root, fs=self.fs, branch=name)
+                head = b.current_snapshot()
+                fork = b.snapshot(0)
+            except (OSError, ValueError):
+                continue
+            if head is None:
+                continue
+            out.append({"name": name,
+                        "forked_from": fork.get("metrics", {}).get("forked_from"),
+                        "head_snapshot_id": head["snapshot_id"],
+                        "created_ms": fork.get("timestamp_ms")})
         out.sort(key=lambda r: r["name"])
         return out
 
