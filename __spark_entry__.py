@@ -552,6 +552,50 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def _vectors_wap_root(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish for the VECTOR table (round 5b,
+    maintenance.publish_staged_vectors): even-id vectors encoded to the
+    main table, odd-id vectors to a staging root under a fresh group
+    name, audited there in isolation, then adopted by one metadata-only
+    commit."""
+    from tokencodec.spark import maintenance, vectors
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "embeddings").count()
+    base = f"/tmp/tokencodec_entry/vecwap_v1_{_sfkey(sf_dir)}_n{n}"
+    main, stage = f"{base}/main", f"{base}/stage"
+    if main not in _ENGINE_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        if SnapshotTable(main).current_snapshot() is None:
+            vectors.encode_vectors(spark, emb.filter(F.col("vec_id") % 2 == 0),
+                                   main, chunk_rows=64)
+        if "odd" not in SnapshotTable(main).committed_groups():
+            staged = emb.filter(F.col("vec_id") % 2 == 1)
+            vectors.encode_vectors(spark, staged, stage, chunk_rows=64,
+                                   group="odd")
+            # the AUDIT step, against the staging root in isolation
+            if vectors.decode_vectors(spark, stage).count() != staged.count():
+                raise RuntimeError("vector staging audit failed")
+            maintenance.publish_staged_vectors(main, stage)
+        _ENGINE_CACHE[main] = main
+    return main
+
+
+def q_engine_vectors_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table write-audit-publish under the oracle: half the
+    embeddings land via a staging vector table adopted by ONE
+    metadata-only commit (publish_staged_vectors). The merged main
+    table must decode to EXACTLY the full embeddings table — l2-norm
+    protocol, the same cross-engine float check as
+    engine_vectors_roundtrip."""
+    from tokencodec.spark import vectors
+    out = vectors.decode_vectors(spark, _vectors_wap_root(spark, sf_dir))
+    dot = F.aggregate("embedding", F.lit(0.0),
+                      lambda a, x: a + x.cast("double") * x.cast("double"))
+    return (out.select("vec_id", "label",
+                       F.round(F.sqrt(dot), 6).alias("l2"))
+            .orderBy("vec_id"))
+
+
 def q_engine_vectors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-range pruned decode of the vector table: range-partitioned +
     sorted ids give tight per-chunk (vec_id_min, vec_id_max) stats, so
@@ -2831,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_nested_roundtrip": q_engine_nested_roundtrip,
         "engine_embed_roundtrip": q_engine_embed_roundtrip,
         "engine_vectors_roundtrip": q_engine_vectors_roundtrip,
+        "engine_vectors_published": q_engine_vectors_published,
         "engine_vectors_pruned": q_engine_vectors_pruned,
         "engine_stream_encode": q_engine_stream_encode,
         "engine_incremental_changes": q_engine_incremental_changes,
@@ -2948,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_decode_after_delete": SQL_ENGINE_DECODE_AFTER_DELETE,
         "engine_schema_evolution": SQL_ENGINE_SCHEMA_EVOLUTION,
         "engine_vectors_roundtrip": SQL_ENGINE_VECTORS_ROUNDTRIP,
+        "engine_vectors_published": SQL_ENGINE_VECTORS_ROUNDTRIP,
         "engine_vectors_pruned": SQL_ENGINE_VECTORS_PRUNED,
         # EVERY queries() entry is oracle-verified (round 4 closed the
         # last rows-only row: engine_encode_metrics now pins its

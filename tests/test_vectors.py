@@ -165,3 +165,58 @@ def test_vectors_appended_batches_have_unique_chunk_uids(spark, tmp_path):
                            chunk_rows=64, group="batch-2")
     pages = vectors.read_vector_pages(spark, root)
     assert pages.count() == pages.select("chunk_uid").distinct().count()
+
+
+def test_vectors_publish_staged_adopts_and_retires(spark, tmp_path):
+    from tokencodec.spark import maintenance
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    main, stage = str(tmp_path / "main"), str(tmp_path / "stage")
+    vectors.encode_vectors(spark, src.filter(F.col("vec_id") % 2 == 0),
+                           main, chunk_rows=64)
+    vectors.encode_vectors(spark, src.filter(F.col("vec_id") % 2 == 1),
+                           stage, chunk_rows=64, group="odd")
+    snap = maintenance.publish_staged_vectors(main, stage)
+    assert set(snap["groups"]) == {"vectors", "odd"}
+    assert snap["metrics"]["op"] == "publish_staged_vectors"
+    # bit-exact union after the metadata-only adoption
+    out = vectors.decode_vectors(spark, main)
+    assert _bits(out.collect()) == _bits(src.collect())
+    # ownership transferred: staging manifests retired
+    assert not os.path.exists(os.path.join(stage, "_manifest"))
+
+
+def test_vectors_publish_refusals(spark, tmp_path):
+    from tokencodec.spark import encode_job, maintenance
+    from tokencodec.spark.synth import token_table
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    main, stage = str(tmp_path / "m2"), str(tmp_path / "s2")
+    vectors.encode_vectors(spark, src, main, chunk_rows=64)
+    # duplicate group key refused by the commit itself
+    vectors.encode_vectors(spark, src, stage, chunk_rows=64)
+    with pytest.raises(ValueError, match="already committed"):
+        maintenance.publish_staged_vectors(main, stage)
+    # a token table on either side is routed to publish_staged
+    tok = str(tmp_path / "tok")
+    encode_job.encode(spark, token_table(spark, 60, seed=5), tok,
+                      commit_groups=1)
+    with pytest.raises(ValueError, match="token table"):
+        maintenance.publish_staged_vectors(main, tok)
+    with pytest.raises(ValueError, match="token table"):
+        maintenance.publish_staged_vectors(tok, stage)
+    # empty staging refused
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        maintenance.publish_staged_vectors(main, str(tmp_path / "empty"))
+
+
+def test_vectors_cli_fsck_detects_fresh_group_tables(spark, tmp_path, capsys):
+    # regression: CLI fsck auto-detect used `groups == {"vectors"}`, so a
+    # staged/appended vector table (fresh group name) fell into the
+    # TOKEN fsck and reported every chunk bad
+    import json
+    from tokencodec.__main__ import main as cli
+    src = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    stage = str(tmp_path / "s3")
+    vectors.encode_vectors(spark, src, stage, chunk_rows=64, group="batch7")
+    assert cli(["--cores", "8", "fsck", stage]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["bad"] == 0 and rep["chunks"] > 0

@@ -194,6 +194,19 @@ def main(argv: list[str] | None = None) -> int:
     venc.add_argument("src", help="parquet with (vec_id, embedding array<float>, label)")
     venc.add_argument("out", help="vector table root")
     venc.add_argument("--chunk-rows", type=int, default=4096)
+    venc.add_argument("--group", default="vectors",
+                      help="commit-group name (fresh name = append a new "
+                      "batch, or a staging batch for publish-vectors)")
+
+    vpub = sub.add_parser(
+        "publish-vectors",
+        help="adopt an audited staging VECTOR table into a main vector "
+        "table (metadata-only; the vector counterpart of publish)")
+    vpub.add_argument("main_root")
+    vpub.add_argument("staging_root")
+    vpub.add_argument("--keep-staging-manifests", action="store_true",
+                      help="do not retire the staging _manifest dir "
+                      "(you become responsible for deleting it)")
 
     vdec = sub.add_parser("decode-vectors",
                           help="decode a vector table back to parquet (bit-exact)")
@@ -292,6 +305,16 @@ def main(argv: list[str] | None = None) -> int:
                           "metrics": snap["metrics"]}))
         return 0
 
+    if args.cmd == "publish-vectors":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import publish_staged_vectors
+        snap = publish_staged_vectors(
+            args.main_root, args.staging_root,
+            retire_staging=not args.keep_staging_manifests)
+        print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                          "groups": sorted(snap["groups"]),
+                          "metrics": snap["metrics"]}))
+        return 0
+
     if args.cmd == "publish":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import publish_staged
         snap = publish_staged(args.main_root, args.staging_root,
@@ -363,7 +386,7 @@ def main(argv: list[str] | None = None) -> int:
             from tokencodec.spark import vectors
             pages = vectors.encode_vectors(
                 spark, spark.read.parquet(args.src), args.out,
-                chunk_rows=args.chunk_rows)
+                chunk_rows=args.chunk_rows, group=args.group)
             m = pages.agg(F.count("*").alias("chunks"),
                           F.sum("n_rows").alias("rows"),
                           F.sum("raw_bytes").alias("raw"),
@@ -417,10 +440,14 @@ def main(argv: list[str] | None = None) -> int:
 
             from tokencodec.spark import fsck
             from tokencodec.spark.table import SnapshotTable
-            # auto-detect the table kind from the manifest alone
-            groups = SnapshotTable(args.root,
-                                   branch=args.branch).committed_groups()
-            if set(groups) == {"vectors"}:
+            # auto-detect the table kind from the manifest alone: vector
+            # commits stamp their op (group names alone are not enough —
+            # appended/staged vector batches use fresh group names)
+            tbl = SnapshotTable(args.root, branch=args.branch)
+            groups = tbl.committed_groups()
+            ops = {s.get("metrics", {}).get("op") for s in tbl.chain()}
+            if (set(groups) == {"vectors"}
+                    or ops & {"encode_vectors", "publish_staged_vectors"}):
                 rep = fsck.fsck_vectors(spark, args.root)
             else:
                 rep = fsck.fsck(spark, args.root, branch=args.branch)

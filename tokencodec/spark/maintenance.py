@@ -803,6 +803,60 @@ def publish_staged(main_root: str, staging_root: str,
     return snap
 
 
+def publish_staged_vectors(main_root: str, staging_root: str,
+                           retire_staging: bool = True, fs=None) -> dict:
+    """Write-audit-publish for VECTOR tables (vectors.encode_vectors):
+    adopt an audited staging vector table's groups into the main vector
+    table with one metadata-only commit — the vector-table counterpart
+    of publish_staged. Chunk uids are group-prefixed, so the commit's
+    duplicate-key refusal is the uid-collision guard: encode the
+    staging batch under a fresh ``group`` name.
+
+    Refused loudly: token tables on either side (their publish path is
+    publish_staged — detected by the partitioning-scheme metric vector
+    commits never carry), cross-scheme roots, and an empty staging
+    table. ``retire_staging`` transfers file ownership exactly like
+    publish_staged."""
+    from urllib.parse import urlparse
+    if urlparse(main_root).scheme != urlparse(staging_root).scheme:
+        raise ValueError(
+            f"main ({main_root}) and staging ({staging_root}) are on "
+            "different filesystem schemes; expiry could not manage the "
+            "adopted files")
+    src = SnapshotTable(staging_root, fs=fs)
+    if src.current_snapshot() is None:
+        raise ValueError(f"staging table {staging_root} has no "
+                         "committed snapshot")
+
+    def _is_token_table(tbl):
+        return any(s.get("metrics", {}).get("scheme")
+                   for s in tbl.chain())
+
+    if _is_token_table(src):
+        raise ValueError(f"{staging_root} is a token table; use "
+                         "publish_staged for it")
+    s_groups = src.committed_groups()
+    if not s_groups:
+        raise ValueError(f"staging table {staging_root} has no groups")
+    dst = SnapshotTable(main_root, fs=fs)
+    if dst.current_snapshot() is not None and _is_token_table(dst):
+        raise ValueError(f"{main_root} is a token table; use "
+                         "publish_staged for it")
+    agg = {"n_chunks": 0, "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+    for s in src.chain():
+        m = s.get("metrics", {})
+        for k in agg:
+            agg[k] += int(m.get(k, 0))
+    m = {"op": "publish_staged_vectors",
+         "published_from": staging_root,
+         "published_snapshot_id": src.current_snapshot()["snapshot_id"],
+         **agg}
+    snap = dst.commit(dict(s_groups), metrics=m)
+    if retire_staging:
+        src.fs.delete(src.manifest_dir, recursive=True)
+    return snap
+
+
 def publish_branch(root: str, name: str, drop: bool = False,
                    fs=None) -> dict:
     """Fast-forward the main table to a branch (SnapshotTable.
