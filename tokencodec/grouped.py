@@ -40,6 +40,12 @@ from tokencodec.codecs import rle
 
 MIN_DOCS_FOR_GROUPING = 4
 
+# second-order gain gate for sub-pages: the zlib trial is already paid
+# inside the grouped encode, so any >=2% win is kept (the page-level
+# 0.95 gate exists to avoid decode-side inflates for trivial wins; a
+# 2-3.5% win on a 16%-of-bytes dict class is not trivial)
+_SUB_GAIN = 0.98
+
 # class keys (sorted tuples -> deterministic group ids)
 _CLS_RUNS = (0, 0)
 _CLS_DELTA = (1, 0)
@@ -194,12 +200,25 @@ def encode_linear_doc(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
     pos = np.arange(len(values), dtype=np.int64) - np.repeat(starts, lens)
     pred = np.repeat(firsts, lens) + pos * np.repeat(steps, lens)
     resid = values - pred
+    # fold the per-doc residual minimum into the intercept (decode needs
+    # no extra page: v = (first+min) + t*step + (r-min)): every doc's
+    # residual stream becomes zero-based, so the GLOBAL residual range
+    # is the max per-doc jitter range (e.g. 3) instead of the union of
+    # per-doc offsets (e.g. 5) — basepack then packs residuals at
+    # ~log2(jitter range) bits/value, the per-symbol entropy floor
+    if len(lens):
+        seg = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        mins = np.minimum.reduceat(resid, seg)
+    else:
+        mins = np.zeros(0, dtype=np.int64)
+    resid = resid - np.repeat(mins, lens)
     firsts_page = pageformat.maybe_deflate(
-        pageformat.encode_int_page(firsts, pageformat.KIND_INT64))
+        pageformat.encode_int_page(firsts + mins, pageformat.KIND_INT64),
+        gain=_SUB_GAIN)
     steps_page = pageformat.maybe_deflate(
-        pageformat.encode_int_page(steps, pageformat.KIND_INT64))
+        pageformat.encode_int_page(steps, pageformat.KIND_INT64), gain=_SUB_GAIN)
     resid_page = pageformat.maybe_deflate(
-        pageformat.encode_int_page(resid, pageformat.KIND_INT64))
+        pageformat.encode_int_page(resid, pageformat.KIND_INT64), gain=_SUB_GAIN)
     return b"".join([struct.pack("<I", len(firsts_page)), firsts_page,
                      struct.pack("<I", len(steps_page)), steps_page,
                      resid_page])
@@ -255,7 +274,7 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
             is_dd = 1
             if pageformat.deflate_enabled() and len(sub) >= 128:
                 z = zlib.compress(sub, pageformat.DEFLATE_LEVEL)
-                if len(z) <= pageformat.DEFLATE_GAIN * len(sub):
+                if len(z) <= _SUB_GAIN * len(sub):
                     sub, is_dd = z, 3
             sub_lin = encode_linear_doc(sub_vals, lens[d])
             if len(sub_lin) < len(sub):
@@ -264,9 +283,15 @@ def encode_tokens_column(values: np.ndarray, doc_lengths: np.ndarray) -> bytes:
             # per-sub-page second-order wrap: each class pays/skips the
             # inflate on its own merits (a whole-grouped-page wrap is
             # all-or-nothing and goes dark once the incompressible
-            # basepack class dominates the page)
-            sub = pageformat.maybe_deflate(
-                pageformat.encode_int_page(sub_vals, pageformat.KIND_INT32))
+            # basepack class dominates the page). BASEPACK subs skip
+            # the trial: a class group is distribution-homogeneous by
+            # construction, so its fractional-bit packing leaves no
+            # byte-level skew for zlib (measured ratios 0.99-1.00) —
+            # unlike MIXED single-page basepack, which maybe_deflate
+            # still trials at the chunk level.
+            sub = pageformat.encode_int_page(sub_vals, pageformat.KIND_INT32)
+            if pageformat.read_header(sub)["codec"] != pageformat.codecs.BASEPACK:
+                sub = pageformat.maybe_deflate(sub, gain=_SUB_GAIN)
             is_dd = 0
         parts.append(bytes([is_dd]))
         parts.append(struct.pack("<I", len(sub)))

@@ -85,18 +85,30 @@ def deflate_enabled() -> bool:
     return os.environ.get("TOKENCODEC_DEFLATE", "1") not in ("0", "false")
 
 
-def maybe_deflate(page: bytes) -> bytes:
+def maybe_deflate(page: bytes, gain: float | None = None) -> bytes:
     """Wrap a complete page in a DEFLATED envelope when zlib wins
-    (>= 5% smaller incl. the wrapper header); otherwise return the page
+    (>= 5% smaller incl. the wrapper header, or the caller's ``gain``
+    threshold — grouped sub-pages use 0.98: their trial is already
+    paid, so even a 2% win is free bytes); otherwise return the page
     unchanged. Decoders unwrap transparently. Determinism note: output
     bytes depend on the zlib build — identical within an environment
     (what chunk-byte invariance tests rely on); decode is portable
     regardless."""
+    if gain is None:
+        gain = _DEFLATE_GAIN
     if len(page) < _DEFLATE_MIN_BYTES or not deflate_enabled():
         return page
     h = read_header(page)
+    # skip GROUPED pages: each sub-page is already individually wrapped
+    # at encode, so the whole-page trial is a second zlib pass over all
+    # token bytes that never reaches the gate (measured 0 wins across
+    # the bench corpus) while costing ~40% of encode wall. Single
+    # (non-grouped) pages still get the trial — a mixed-distribution
+    # BASEPACK page can carry byte-level skew zlib recovers.
+    if h["codec"] == codecs.GROUPED:
+        return page
     z = zlib.compress(bytes(page), _DEFLATE_LEVEL)
-    if len(z) + HEADER_SIZE <= _DEFLATE_GAIN * len(page):
+    if len(z) + HEADER_SIZE <= gain * len(page):
         return _wrap(codecs.DEFLATED, h["kind"], 0, h["n_values"], 0,
                      h["raw_size"], z)
     return page
