@@ -883,6 +883,59 @@ def q_engine_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _spill_root(spark: SparkSession, sf_dir: str) -> str:
+    """A docs-derived root committed as 72 groups — past the 64-group
+    manifest-spill threshold, so the table's snapshots reference
+    immutable groupset files (the Iceberg manifest-list analog in
+    tokencodec/spark/table.py) instead of inlining the whole group
+    map. At the 10^12-sequence design scale that inline map is tens of
+    MB of JSON rewritten per commit; this root proves the spilled
+    metadata path serves reads byte-identically."""
+    from tokencodec.spark import encode_job
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/spill_v1_{_sfkey(sf_dir)}_n{n}"
+    if root not in _ENGINE_CACHE:
+        encode_job.encode(spark, _docs_token_df(spark, sf_dir), root,
+                          commit_groups=72, direct_write=True)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_manifest_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spilled group manifests under the oracle: decode through a
+    snapshot whose group map lives in groupset files (72 commit groups
+    > the 64-group spill threshold) and reproduce per-source counts and
+    token sums DuckDB computes from `documents` directly. The
+    structural invariant rides along: `spilled` asserts the snapshot
+    actually references set files (the metadata path under test), and
+    the oracle pins it TRUE."""
+    from tokencodec.spark import decode_job
+    from tokencodec.spark.table import SnapshotTable
+    root = _spill_root(spark, sf_dir)
+    spilled = bool(SnapshotTable(root).current_snapshot()
+                   .get("group_manifests"))
+    out = decode_job.decode(spark, root).select(
+        "source", F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("row_sum"))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").alias("tok_total"),
+                 F.sum("row_sum").alias("tok_sum"))
+            .withColumn("spilled", F.lit(spilled))
+            .orderBy("source"))
+
+
+SQL_ENGINE_MANIFEST_SPILL = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+       CAST(SUM(list_aggregate(toks, 'sum')) AS BIGINT) AS tok_sum,
+       TRUE AS spilled
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def _del_root(spark: SparkSession, sf_dir: str) -> str:
     """A docs-derived root with a committed takedown: every doc whose
     number ends in 3 is equality-deleted (round-5 row-level deletes)."""
@@ -2881,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_incremental_changes": q_engine_incremental_changes,
         "engine_decode_at_tag": q_engine_decode_at_tag,
         "engine_publish_staged": q_engine_publish_staged,
+        "engine_manifest_spill": q_engine_manifest_spill,
         "engine_branch_wap": q_engine_branch_wap,
         "engine_dedup_applied": q_engine_dedup_applied,
         "engine_pack_sequences": q_engine_pack_sequences,
@@ -2986,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_incremental_changes": SQL_ENGINE_INCREMENTAL_CHANGES,
         "engine_decode_at_tag": SQL_ENGINE_DECODE_AT_TAG,
         "engine_publish_staged": SQL_ENGINE_DECODE_ROWS,
+        "engine_manifest_spill": SQL_ENGINE_MANIFEST_SPILL,
         "engine_branch_wap": SQL_ENGINE_DECODE_ROWS,
         "engine_dedup_applied": SQL_ENGINE_DEDUP_APPLIED,
         "engine_pack_sequences": SQL_ENGINE_PACK_SEQUENCES,

@@ -336,7 +336,8 @@ def test_remove_orphan_files(spark, tmp_path):
     os.makedirs(fresh_orphan)
 
     res = maintenance.remove_orphan_files(root, older_than_hours=24)
-    assert res == {"deleted_orphan_dirs": 1, "deleted_claim_manifests": 0}
+    assert res == {"deleted_orphan_dirs": 1, "deleted_claim_manifests": 0,
+                   "deleted_orphan_groupsets": 0}
     assert not os.path.exists(old_orphan)
     assert os.path.exists(fresh_orphan)  # age guard: in-flight writer
     assert live_dirs <= set(os.listdir(data))
@@ -344,7 +345,8 @@ def test_remove_orphan_files(spark, tmp_path):
     # the fresh orphan ages out too
     os.utime(fresh_orphan, (past, past))
     assert maintenance.remove_orphan_files(root, older_than_hours=24) \
-        == {"deleted_orphan_dirs": 1, "deleted_claim_manifests": 0}
+        == {"deleted_orphan_dirs": 1, "deleted_claim_manifests": 0,
+            "deleted_orphan_groupsets": 0}
 
 
 def test_direct_write_probe():

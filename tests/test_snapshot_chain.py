@@ -147,7 +147,8 @@ def test_orphan_gc_refuses_without_chain_anchor(tmp_path, monkeypatch):
                    "groups": {"g0": []}, "new_groups": ["g0"], "metrics": {}}, f)
     # sanity: with a readable anchor GC runs fine
     assert maintenance.remove_orphan_files(root, older_than_hours=0) == {
-        "deleted_orphan_dirs": 0, "deleted_claim_manifests": 0}
+        "deleted_orphan_dirs": 0, "deleted_claim_manifests": 0,
+        "deleted_orphan_groupsets": 0}
     monkeypatch.setattr(SnapshotTable, "current_snapshot", lambda self: None)
     with pytest.raises(RuntimeError, match="refusing to GC"):
         maintenance.remove_orphan_files(root, older_than_hours=0)

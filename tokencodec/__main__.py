@@ -243,9 +243,10 @@ def main(argv: list[str] | None = None) -> int:
         if snap is None:
             print(json.dumps({"error": "no committed snapshot"}))
             return 1
-        n_files = sum(len(ps) for ps in snap["groups"].values())
+        resolved = tbl.resolve_groups(snap)
+        n_files = sum(len(ps) for ps in resolved.values())
         out = {"snapshot_id": snap["snapshot_id"],
-               "groups": sorted(snap["groups"]),
+               "groups": sorted(resolved),
                "n_data_paths": n_files,
                "table_totals": snap.get("metrics", {}).get("table_totals"),
                "max_doc_parts": None,
@@ -299,29 +300,37 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "publish-branch":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import publish_branch
+        from tokencodec.spark.table import SnapshotTable
         snap = publish_branch(args.root, args.name, drop=args.drop)
-        print(json.dumps({"snapshot_id": snap["snapshot_id"],
-                          "groups": sorted(snap["groups"]),
-                          "metrics": snap["metrics"]}))
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "groups": sorted(SnapshotTable(args.root).resolve_groups(snap)),
+            "metrics": snap["metrics"]}))
         return 0
 
     if args.cmd == "publish-vectors":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import publish_staged_vectors
+        from tokencodec.spark.table import SnapshotTable
         snap = publish_staged_vectors(
             args.main_root, args.staging_root,
             retire_staging=not args.keep_staging_manifests)
-        print(json.dumps({"snapshot_id": snap["snapshot_id"],
-                          "groups": sorted(snap["groups"]),
-                          "metrics": snap["metrics"]}))
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "groups": sorted(
+                SnapshotTable(args.main_root).resolve_groups(snap)),
+            "metrics": snap["metrics"]}))
         return 0
 
     if args.cmd == "publish":  # manifest-only, no Spark needed
         from tokencodec.spark.maintenance import publish_staged
+        from tokencodec.spark.table import SnapshotTable
         snap = publish_staged(args.main_root, args.staging_root,
                               retire_staging=not args.keep_staging_manifests)
-        print(json.dumps({"snapshot_id": snap["snapshot_id"],
-                          "groups": sorted(snap["groups"]),
-                          "metrics": snap["metrics"]}))
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "groups": sorted(
+                SnapshotTable(args.main_root).resolve_groups(snap)),
+            "metrics": snap["metrics"]}))
         return 0
 
     if args.cmd == "snapshots":  # no Spark needed

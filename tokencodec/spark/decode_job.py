@@ -442,7 +442,7 @@ def _delete_ids(spark: SparkSession, root: str,
             else tbl.snapshot(snapshot_id))
     if snap is None:
         return None
-    paths = [p for k, ps in snap["groups"].items()
+    paths = [p for k, ps in tbl.resolve_groups(snap).items()
              if is_delete_group(k) for p in ps]
     if not paths:
         return None
@@ -707,10 +707,14 @@ def changed_paths(root: str, since_snapshot_id: int,
     for s in chain[ids.index(since_snapshot_id) + 1:]:
         if s.get("metrics", {}).get("op") in ("compact", "purge"):
             continue  # rewrite-files: no logical rows added
-        for k in s.get("new_groups", []):
-            if is_delete_group(k):
-                continue  # delete manifests hold ids, not token rows
-            out.extend(s["groups"].get(k, []))
+        keys = [k for k in s.get("new_groups", []) if not is_delete_group(k)]
+        if not keys:
+            continue  # delete manifests hold ids, not token rows
+        # a spill in the same commit can fold new groups into a set
+        # file; resolve per snapshot (set files are process-cached)
+        resolved = tbl.resolve_groups(s)
+        for k in keys:
+            out.extend(resolved.get(k, []))
     return out
 
 

@@ -995,7 +995,7 @@ def read_pages(spark: SparkSession, root: str,
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     from tokencodec.spark.table import is_delete_group
-    paths = [p for k, ps in snap["groups"].items()
+    paths = [p for k, ps in tbl.resolve_groups(snap).items()
              if not is_delete_group(k) for p in ps]
     if not paths:
         return spark.createDataFrame([], PAGES_DDL)

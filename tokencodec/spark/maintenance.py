@@ -220,11 +220,13 @@ def compact(spark: SparkSession, root: str,
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    if any(is_delete_group(k) and ps for k, ps in snap["groups"].items()):
+    grp_map = tbl.resolve_groups(snap)
+    if any(is_delete_group(k) and ps for k, ps in grp_map.items()):
         # pending row-level deletes: purge them physically FIRST, so the
         # rewrite below never re-compacts rows that are already dead
         snap = purge_deletes(spark, root, parquet_codec=parquet_codec)
-    all_paths = [p for k, ps in snap["groups"].items()
+        grp_map = tbl.resolve_groups(snap)
+    all_paths = [p for k, ps in grp_map.items()
                  if not is_delete_group(k) for p in ps]
     if not all_paths:
         return snap
@@ -433,11 +435,11 @@ def compact(spark: SparkSession, root: str,
     sel_set = set(selected)
     new_groups = {}
     attached = False
-    for k in sorted(snap["groups"]):
+    for k in sorted(grp_map):
         if is_delete_group(k):
-            new_groups[k] = list(snap["groups"][k])  # untouched here
+            new_groups[k] = list(grp_map[k])  # untouched here
             continue
-        survivors = [p for p in snap["groups"][k] if p not in sel_set]
+        survivors = [p for p in grp_map[k] if p not in sel_set]
         new_groups[k] = ([] if attached else new_files) + survivors
         attached = True
     if rgrps is not None:
@@ -591,14 +593,15 @@ def purge_deletes(spark: SparkSession, root: str,
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    del_paths = [p for k, ps in snap["groups"].items()
+    grp_map = tbl.resolve_groups(snap)
+    del_paths = [p for k, ps in grp_map.items()
                  if is_delete_group(k) for p in ps]
     if not del_paths:
         return snap
     ids = frozenset(
         r[0] for r in spark.read.schema("doc_id string")
         .parquet(*del_paths).distinct().collect())
-    data_paths = [p for k, ps in snap["groups"].items()
+    data_paths = [p for k, ps in grp_map.items()
                   if not is_delete_group(k) for p in ps]
     uid_prefix = f"prg{snap['snapshot_id'] + 1}"
     new_files: list[str] = []
@@ -683,11 +686,11 @@ def purge_deletes(spark: SparkSession, root: str,
         m["extra_schema_chain"] = esc
     new_groups: dict[str, list[str]] = {}
     attached = False
-    for k in sorted(snap["groups"]):
+    for k in sorted(grp_map):
         if is_delete_group(k):
             new_groups[k] = []  # applied physically: nothing left to mask
             continue
-        survivors = [p for p in snap["groups"][k] if p not in sel_set]
+        survivors = [p for p in grp_map[k] if p not in sel_set]
         new_groups[k] = ([] if attached else new_files) + survivors
         attached = True
     return tbl.commit(new_groups, metrics=m, replace=True)
@@ -885,7 +888,7 @@ def publish_branch(root: str, name: str, drop: bool = False,
     br = SnapshotTable(root, fs=fs, branch=name)
     head = br.current_snapshot()
     fork = br.snapshot(0)
-    fork_groups = fork["groups"]
+    fork_groups = br.resolve_groups(fork)
     head_groups = br.committed_groups()
     mutated = [k for k in head_groups
                if k in fork_groups and head_groups[k] != fork_groups[k]]
@@ -942,16 +945,21 @@ def publish_branch(root: str, name: str, drop: bool = False,
     return snap
 
 
-def _branch_live_paths(tbl: SnapshotTable) -> set[str]:
-    """Every data path referenced by ANY snapshot of ANY branch of
-    ``tbl`` — branches are retention holds for GC/expiry, like tags."""
+def _branch_live_refs(tbl: SnapshotTable) -> tuple[set[str], set[str]]:
+    """(data paths, groupset file names) referenced by ANY snapshot of
+    ANY branch of ``tbl`` — branches are retention holds for GC/expiry,
+    like tags. Branch snapshots reference set files in the shared
+    {root}/_manifest/groupsets dir, so both kinds of refs pin."""
     live: set[str] = set()
+    live_sets: set[str] = set()
     for b in tbl.branches():
         br = SnapshotTable(tbl.root, fs=tbl.fs, branch=b["name"])
         for s in br.snapshots():
-            for ps in s["groups"].values():
+            for ps in br.resolve_groups(s).values():
                 live.update(ps)
-    return live
+            live_sets.update(e["name"]
+                             for e in s.get("group_manifests", []))
+    return live, live_sets
 
 
 def remove_orphan_files(root: str, older_than_hours: float = 24.0,
@@ -1019,12 +1027,17 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
             tbl.fs.delete(path)
             deleted_claims += 1
     referenced: set[str] = set()
+    referenced_sets: set[str] = set()
     for s in tbl.snapshots():
-        for ps in s["groups"].values():
+        for ps in tbl.resolve_groups(s).values():
             referenced.update(ps)
+        referenced_sets.update(e["name"]
+                               for e in s.get("group_manifests", []))
     # branch chains share {root}/data: their run dirs are referenced,
     # not orphans (a branch is a retention hold, like a tag)
-    referenced |= _branch_live_paths(tbl)
+    br_paths, br_sets = _branch_live_refs(tbl)
+    referenced |= br_paths
+    referenced_sets |= br_sets
     for p in list(referenced):
         referenced.add(p.rsplit("/", 1)[0])  # file's run dir
     data_dir = posixpath.join(root, "data")
@@ -1038,8 +1051,23 @@ def remove_orphan_files(root: str, older_than_hours: float = 24.0,
                 continue
             tbl.fs.delete(p, recursive=True)
             deleted += 1
+    # groupset files leaked by lost commit races / crashes before the
+    # claim are referenced by no snapshot: age them out like run dirs
+    # (the age guard protects an in-flight committer's freshly written
+    # set whose claim has not landed yet)
+    gdir = tbl.groupsets_dir()
+    deleted_sets = 0
+    if tbl.fs.exists(gdir):
+        for name in sorted(tbl.fs.listdir(gdir)):
+            if not name.startswith("groupset-") or name in referenced_sets:
+                continue
+            p = posixpath.join(gdir, name)
+            if tbl.fs.mtime(p) <= cutoff:
+                tbl.fs.delete(p)
+                deleted_sets += 1
     return {"deleted_orphan_dirs": deleted,
-            "deleted_claim_manifests": deleted_claims}
+            "deleted_claim_manifests": deleted_claims,
+            "deleted_orphan_groupsets": deleted_sets}
 
 
 def expire_snapshots(root: str, keep_last: int = 1,
@@ -1089,12 +1117,26 @@ def expire_snapshots(root: str, keep_last: int = 1,
                  if s["snapshot_id"] not in drop_ids
                  and s["snapshot_id"] not in tagged_ids]
     live = {p for s in keep + tagged + kept_hist
-            for ps in s["groups"].values() for p in ps}
+            for ps in tbl.resolve_groups(s).values() for p in ps}
     # branch chains pin their data files through main-table expiry: a
     # fork references the base groups, so expiring main history never
     # deletes files a branch can still read
-    live |= _branch_live_paths(tbl)
-    dead = {p for s in drop for ps in s["groups"].values() for p in ps} - live
+    br_paths, br_sets = _branch_live_refs(tbl)
+    live |= br_paths
+    # resolve the dropped snapshots BEFORE their set files are deleted
+    dead = {p for s in drop
+            for ps in tbl.resolve_groups(s).values() for p in ps} - live
+    # groupset files referenced only by the dropped snapshots expire
+    # with them; anything a surviving snapshot / tag / branch still
+    # references is pinned
+    live_sets = {e["name"] for s in keep + tagged + kept_hist
+                 for e in s.get("group_manifests", [])} | br_sets
+    dead_sets = {e["name"] for s in drop
+                 for e in s.get("group_manifests", [])} - live_sets
+    for n in sorted(dead_sets):
+        p = posixpath.join(tbl.groupsets_dir(), n)
+        if tbl.fs.exists(p):
+            tbl.fs.delete(p)
     for p in sorted(dead):
         tbl.fs.delete(p, recursive=True)
     # drop run dirs emptied by file-granular deletes (file-list commits

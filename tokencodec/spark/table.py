@@ -19,6 +19,9 @@ Layout:
     {root}/data/run-{run_id}/...parquet     (written by Spark jobs)
     {root}/_manifest/snapshot-{N}.json      (immutable; THE commit)
     {root}/_manifest/CURRENT                (advisory roll-forward hint)
+    {root}/_manifest/groupsets/groupset-*.json  (immutable spilled group
+        maps — the Iceberg manifest-list analog; see the groupsets
+        section below the DELETE_GROUP_PREFIX constant)
 
 Commit protocol (Iceberg HadoopTableOperations-style, versioned-file
 commits): snapshot ids are strictly sequential, and the atomic
@@ -55,6 +58,7 @@ failed runs are invisible orphans (Iceberg semantics).
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import re
 import time
@@ -75,6 +79,40 @@ DELETE_GROUP_PREFIX = "del:"
 
 def is_delete_group(key: str) -> bool:
     return key.startswith(DELETE_GROUP_PREFIX)
+
+
+# ---------------------------------------------------------------- groupsets
+# Spilled group manifests (Iceberg's manifest list): a snapshot that
+# inlines the whole {group: paths} map rewrites O(total groups) of JSON
+# per commit — at the 10^12-sequence design scale (~10^5-10^6 data
+# files) that is tens of MB of metadata per commit and per read. Once
+# the inline map outgrows TOKENCODEC_MANIFEST_SPILL_GROUPS (default 64)
+# the commit spills it to an immutable groupset-*.json file under
+# {root}/_manifest/groupsets/ and the snapshot references it as
+# {"name", "n_groups", "min", "max"} — the key range drives pruning so
+# commit-time duplicate/replace validation reads only the sets whose
+# range can contain the touched keys. Append commits reference the
+# parent's set files verbatim (O(delta) metadata per commit);
+# replace commits rewrite only set files whose keys actually changed;
+# when the set LIST outgrows TOKENCODEC_MANIFEST_MERGE_SETS (default
+# 32) the commit consolidates everything into key-ordered,
+# range-disjoint set files (Iceberg's manifest merge), so snapshot
+# size stays O(total/chunk + spill) forever. Set files are immutable
+# and shared across snapshots, tags, and branches of one root; expiry
+# deletes sets referenced only by expired snapshots, orphan GC ages
+# out sets leaked by lost commit races.
+
+# immutable once written -> safe process-wide cache (bounded FIFO)
+_GROUPSET_CACHE: dict[str, dict] = {}
+_GROUPSET_CACHE_MAX = 256
+
+
+def spill_threshold() -> int:
+    return int(os.environ.get("TOKENCODEC_MANIFEST_SPILL_GROUPS", "64"))
+
+
+def merge_sets_threshold() -> int:
+    return int(os.environ.get("TOKENCODEC_MANIFEST_MERGE_SETS", "32"))
 
 
 class SnapshotTable:
@@ -166,10 +204,59 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshot {snapshot_id} under {self.root}")
         return json.loads(self.fs.read_text(path))
 
+    # ---------------------------------------------------------- groupsets
+    def groupsets_dir(self) -> str:
+        # shared across the main chain, tags, and every branch of this
+        # root (branch snapshots reference the same immutable files)
+        return posixpath.join(self.root, "_manifest", "groupsets")
+
+    def _read_groupset(self, name: str) -> dict[str, list[str]]:
+        path = posixpath.join(self.groupsets_dir(), name)
+        cached = _GROUPSET_CACHE.get(path)
+        if cached is not None:
+            return cached
+        try:
+            m = json.loads(self.fs.read_text(path))
+        except (OSError, ValueError) as e:
+            raise FileNotFoundError(
+                f"groupset manifest {path} referenced by a committed "
+                "snapshot is missing or unreadable — metadata corruption "
+                "(was the groupsets dir cleaned by an external tool?)"
+            ) from e
+        if not isinstance(m, dict):
+            raise FileNotFoundError(f"malformed groupset manifest {path}")
+        if len(_GROUPSET_CACHE) >= _GROUPSET_CACHE_MAX:
+            _GROUPSET_CACHE.pop(next(iter(_GROUPSET_CACHE)))
+        _GROUPSET_CACHE[path] = m
+        return m
+
+    def _write_groupset(self, groups: dict[str, list[str]]) -> dict:
+        """Write an immutable set file; return its manifest-list entry.
+        Files leaked by a lost commit race or a crash before the claim
+        are unreferenced and age out via remove_orphan_files."""
+        name = f"groupset-{uuid.uuid4().hex[:12]}.json"
+        self.fs.mkdirs(self.groupsets_dir())
+        self.fs.write_atomic(posixpath.join(self.groupsets_dir(), name),
+                             json.dumps(groups, indent=1))
+        ks = sorted(groups)
+        return {"name": name, "n_groups": len(groups),
+                "min": ks[0], "max": ks[-1]}
+
+    def resolve_groups(self, snap: dict) -> dict[str, list[str]]:
+        """The snapshot's full {group: paths} map, resolving spilled
+        set references. Keys are disjoint across sets and the inline
+        map by construction (commit validates against the resolved
+        key space)."""
+        groups: dict[str, list[str]] = {}
+        for e in snap.get("group_manifests", []):
+            groups.update(self._read_groupset(e["name"]))
+        groups.update(snap["groups"])
+        return groups
+
     def committed_groups(self, snapshot_id: int | None = None) -> dict[str, list[str]]:
         snap = (self.current_snapshot() if snapshot_id is None
                 else self.snapshot(snapshot_id))
-        return dict(snap["groups"]) if snap else {}
+        return self.resolve_groups(snap) if snap else {}
 
     def data_paths(self, snapshot_id: int | None = None) -> list[str]:
         """Paths of DATA groups — delete-manifest groups (del:*) hold
@@ -334,11 +421,15 @@ class SnapshotTable:
             "snapshot_id": 0,
             "parent_id": None,
             "timestamp_ms": int(time.time() * 1000),
+            # reference the base's spilled sets verbatim (they live in
+            # the shared groupsets dir) instead of materializing the map
             "groups": dict(base["groups"]),
             "new_groups": [],
             "metrics": {"branch": name,
                         "forked_from": base["snapshot_id"], **carried},
         }
+        if base.get("group_manifests"):
+            fork["group_manifests"] = list(base["group_manifests"])
         bdir = self._branch_dir(name)
         self.fs.mkdirs(bdir)
         try:
@@ -419,23 +510,71 @@ class SnapshotTable:
         for _ in range(retries + 1):
             parent = self.current_snapshot()
             sid = parent["snapshot_id"] + 1 if parent else 0
-            groups = dict(parent["groups"]) if parent else {}
-            for k, v in new_groups.items():
-                if replace:
-                    if k not in groups:
+            inline = dict(parent["groups"]) if parent else {}
+            sets = list(parent.get("group_manifests", [])) if parent else []
+            if replace:
+                # rewrite ONLY set files whose keys actually changed;
+                # everything else is referenced verbatim (compaction
+                # passes the full map with mostly-identical values)
+                dirty: dict[str, dict] = {}
+                for k, v in new_groups.items():
+                    if k in inline:
+                        inline[k] = v
+                        continue
+                    hit = None
+                    for e in sets:  # key-range pruning on the set list
+                        if e["min"] <= k <= e["max"] \
+                                and k in self._read_groupset(e["name"]):
+                            hit = e["name"]
+                            break
+                    if hit is None:
                         raise ValueError(f"cannot replace unknown group {k}")
-                elif k in groups:
-                    raise ValueError(
-                        f"group {k} already committed (snapshot {parent['snapshot_id']})")
-                groups[k] = v
+                    if self._read_groupset(hit).get(k) != v:
+                        dirty.setdefault(
+                            hit, dict(self._read_groupset(hit)))[k] = v
+                sets = [self._write_groupset(dirty[e["name"]])
+                        if e["name"] in dirty else e for e in sets]
+            else:
+                # duplicate-key validation against the resolved key
+                # space, reading only sets whose range can contain a
+                # new key (consolidated sets are range-disjoint)
+                keys = set(inline)
+                for e in sets:
+                    if any(e["min"] <= k <= e["max"] for k in new_groups):
+                        keys |= self._read_groupset(e["name"]).keys()
+                for k in new_groups:
+                    if k in keys:
+                        raise ValueError(
+                            f"group {k} already committed "
+                            f"(snapshot {parent['snapshot_id']})")
+                inline.update(new_groups)
+            if len(inline) > spill_threshold():
+                if len(sets) + 1 > merge_sets_threshold():
+                    # manifest merge: consolidate into key-ordered,
+                    # range-disjoint chunks so both the set list and
+                    # per-commit validation reads stay bounded forever
+                    full = {}
+                    for e in sets:
+                        full.update(self._read_groupset(e["name"]))
+                    full.update(inline)
+                    ks = sorted(full)
+                    chunk = max(spill_threshold() * 64, 1)
+                    sets = [self._write_groupset(
+                        {k: full[k] for k in ks[i:i + chunk]})
+                        for i in range(0, len(ks), chunk)]
+                else:
+                    sets = sets + [self._write_groupset(inline)]
+                inline = {}
             snap = {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "timestamp_ms": int(time.time() * 1000),
-                "groups": groups,
+                "groups": inline,
                 "new_groups": sorted(new_groups),
                 "metrics": metrics or {},
             }
+            if sets:
+                snap["group_manifests"] = sets
             name = f"snapshot-{sid:06d}.json"
             try:
                 self.fs.create_excl(posixpath.join(self.manifest_dir, name),
