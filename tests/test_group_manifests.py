@@ -302,3 +302,97 @@ def test_engine_end_to_end_spilled(tmp_path, spark):
     ok2 = decode_job.audit(encode_job.pack_source(spark, src),
                            decode_job.decode(spark, root, packed=True))
     assert ok2["ok"]
+
+
+def test_rewrite_manifests_consolidates(tmp_path, monkeypatch):
+    from tokencodec.spark.maintenance import rewrite_manifests
+    tbl = _mk(tmp_path)
+    for i in range(4):  # 4 spilled sets, below the default merge cap
+        tbl.commit(_groups(9, pref=f"p{i}x"))
+    assert len(tbl.current_snapshot()["group_manifests"]) == 4
+    before = tbl.committed_groups()
+    snap = rewrite_manifests(tbl.root)
+    es = snap["group_manifests"]
+    assert len(es) == 1 and snap["groups"] == {}
+    assert snap["metrics"]["op"] == "rewrite_manifests"
+    assert tbl.committed_groups() == before          # groups unchanged
+    assert tbl.committed_groups(snapshot_id=2) != before  # history intact
+    # already consolidated -> no-op, no new commit
+    assert rewrite_manifests(tbl.root)["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_rewrite_manifests_noop_small_table(tmp_path):
+    from tokencodec.spark.maintenance import rewrite_manifests
+    tbl = _mk(tmp_path)
+    tbl.commit(_groups(3))
+    snap = rewrite_manifests(tbl.root)
+    assert snap["snapshot_id"] == 0  # nothing to do: inline is optimal
+
+
+def test_commit_race_loser_rebases_across_sets(tmp_path):
+    """A lost optimistic-concurrency race on a spilled table: the loser
+    re-reads the winner (which referenced the same set files), re-bases,
+    and lands its append on the next id with BOTH deltas resolved."""
+    tbl = _mk(tmp_path)
+    tbl.commit(_groups(20))  # spilled set
+    parent = tbl.current_snapshot()
+    winner = {"snapshot_id": parent["snapshot_id"] + 1,
+              "parent_id": parent["snapshot_id"],
+              "timestamp_ms": 0,
+              "groups": dict(parent["groups"], w0=["/w0.parquet"]),
+              "new_groups": ["w0"], "metrics": {}}
+    if parent.get("group_manifests"):
+        winner["group_manifests"] = list(parent["group_manifests"])
+    real_excl = tbl.fs.create_excl
+    state = {"planted": False}
+
+    def racy(path, text):
+        # a concurrent committer claims the id first, AFTER the loser
+        # read its parent but BEFORE its create-exclusive lands
+        if not state["planted"] and "/snapshot-" in path:
+            state["planted"] = True
+            real_excl(tbl._snap_path(winner["snapshot_id"]),
+                      json.dumps(winner))
+        return real_excl(path, text)
+
+    tbl.fs.create_excl = racy
+    try:
+        snap = tbl.commit({"l0": ["/l0.parquet"]})
+    finally:
+        tbl.fs.create_excl = real_excl
+    assert snap["snapshot_id"] == winner["snapshot_id"] + 1
+    got = tbl.committed_groups()
+    assert got["w0"] == ["/w0.parquet"] and got["l0"] == ["/l0.parquet"]
+    assert len(got) == 22
+
+
+def test_commit_race_duplicate_after_rebase_refused(tmp_path):
+    """The loser's group key already landed via the winner: the rebase
+    must refuse (duplicate-key guard against the RESOLVED key space)."""
+    tbl = _mk(tmp_path)
+    tbl.commit(_groups(20))
+    parent = tbl.current_snapshot()
+    winner = {"snapshot_id": parent["snapshot_id"] + 1,
+              "parent_id": parent["snapshot_id"],
+              "timestamp_ms": 0,
+              "groups": dict(parent["groups"], w0=["/theirs.parquet"]),
+              "new_groups": ["w0"], "metrics": {}}
+    if parent.get("group_manifests"):
+        winner["group_manifests"] = list(parent["group_manifests"])
+    real_excl = tbl.fs.create_excl
+    state = {"planted": False}
+
+    def racy(path, text):
+        if not state["planted"] and "/snapshot-" in path:
+            state["planted"] = True
+            real_excl(tbl._snap_path(winner["snapshot_id"]),
+                      json.dumps(winner))
+        return real_excl(path, text)
+
+    tbl.fs.create_excl = racy
+    try:
+        with pytest.raises(ValueError, match="already committed"):
+            tbl.commit({"w0": ["/mine.parquet"]})
+    finally:
+        tbl.fs.create_excl = real_excl
+    assert tbl.committed_groups()["w0"] == ["/theirs.parquet"]

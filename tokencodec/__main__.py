@@ -188,6 +188,12 @@ def main(argv: list[str] | None = None) -> int:
                           "recently than this (time-based retention on "
                           "top of the count)")
 
+    rwm = sub.add_parser(
+        "rewrite-manifests",
+        help="consolidate spilled group manifests into range-disjoint "
+        "set files (metadata-only; Iceberg's rewrite_manifests)")
+    rwm.add_argument("root")
+
     venc = sub.add_parser(
         "encode-vectors",
         help="store a (vec_id, embedding, label) parquet table on float pages")
@@ -236,6 +242,15 @@ def main(argv: list[str] | None = None) -> int:
             args.root, older_than_hours=args.older_than_hours)))
         return 0
 
+    if args.cmd == "rewrite-manifests":  # manifest-only, no Spark needed
+        from tokencodec.spark.maintenance import rewrite_manifests
+        snap = rewrite_manifests(args.root)
+        print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                          "sets": len(snap.get("group_manifests", [])),
+                          "inline_groups": len(snap["groups"]),
+                          "metrics": snap["metrics"]}))
+        return 0
+
     if args.cmd == "describe":  # manifest-only, no Spark needed
         from tokencodec.spark.table import SnapshotTable
         tbl = SnapshotTable(args.root)
@@ -248,6 +263,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"snapshot_id": snap["snapshot_id"],
                "groups": sorted(resolved),
                "n_data_paths": n_files,
+               "group_manifests": len(snap.get("group_manifests", [])),
+               "inline_groups": len(snap["groups"]),
                "table_totals": snap.get("metrics", {}).get("table_totals"),
                "max_doc_parts": None,
                "n_snapshots": len(tbl.snapshots()),

@@ -945,6 +945,46 @@ def publish_branch(root: str, name: str, drop: bool = False,
     return snap
 
 
+def rewrite_manifests(root: str, fs=None) -> dict:
+    """Consolidate the table's spilled group manifests into key-ordered,
+    range-disjoint set files in ONE metadata-only commit (Iceberg's
+    rewrite_manifests procedure). Commits already self-consolidate past
+    the set-list cap; this forces it on demand — after a burst of small
+    appends left many tiny sets, or before handing the table to a
+    read-heavy consumer (disjoint ranges make commit-time validation
+    and replace lookups prune to one set per key). No data is touched;
+    groups are unchanged; superseded set files age out with snapshot
+    expiry / orphan GC. No-op (returns the current snapshot) when the
+    metadata is already in its best shape: no sets and an inline map
+    under the spill threshold, or a single consolidated set."""
+    from tokencodec.spark.encode_job import (next_chain_max,
+                                             next_extra_schema_chain,
+                                             next_table_totals)
+    from tokencodec.spark.table import spill_threshold
+
+    tbl = SnapshotTable(root, fs=fs)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    sets = snap.get("group_manifests", [])
+    if (not sets and len(snap["groups"]) <= spill_threshold()) or \
+            (len(sets) == 1 and not snap["groups"]):
+        return snap
+    m: dict = {"op": "rewrite_manifests",
+               "sets_before": len(sets),
+               "inline_before": len(snap["groups"])}
+    totals = next_table_totals(snap, {})
+    if totals is not None:
+        m["table_totals"] = totals  # metadata-only: no page changes
+    cmax = next_chain_max(snap, 0)
+    if cmax is not None:
+        m["max_doc_parts_chain"] = cmax
+    esc = next_extra_schema_chain(snap, {})
+    if esc is not None:
+        m["extra_schema_chain"] = esc
+    return tbl.commit({}, metrics=m, consolidate=True)
+
+
 def _branch_live_refs(tbl: SnapshotTable) -> tuple[set[str], set[str]]:
     """(data paths, groupset file names) referenced by ANY snapshot of
     ANY branch of ``tbl`` — branches are retention holds for GC/expiry,

@@ -486,8 +486,15 @@ class SnapshotTable:
         return posixpath.join(self.root, "data", f"run-{run_id}")
 
     def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None,
-               replace: bool = False, retries: int = 3) -> dict:
+               replace: bool = False, retries: int = 3,
+               consolidate: bool = False) -> dict:
         """Append ``new_groups`` to the current snapshot atomically.
+
+        ``consolidate=True`` forces the manifest-merge path regardless
+        of thresholds: the whole group map (sets + inline + this
+        commit's groups) is rewritten into key-ordered, range-disjoint
+        set files. Used by maintenance.rewrite_manifests to defragment
+        metadata on demand (Iceberg's rewrite_manifests procedure).
 
         ``replace=True`` swaps the data paths of EXISTING group keys
         instead (Iceberg's rewrite-files semantics — used by
@@ -548,7 +555,18 @@ class SnapshotTable:
                             f"group {k} already committed "
                             f"(snapshot {parent['snapshot_id']})")
                 inline.update(new_groups)
-            if len(inline) > spill_threshold():
+            if consolidate and (sets or inline):
+                full = {}
+                for e in sets:
+                    full.update(self._read_groupset(e["name"]))
+                full.update(inline)
+                ks = sorted(full)
+                chunk = max(spill_threshold() * 64, 1)
+                sets = [self._write_groupset(
+                    {k: full[k] for k in ks[i:i + chunk]})
+                    for i in range(0, len(ks), chunk)]
+                inline = {}
+            elif len(inline) > spill_threshold():
                 if len(sets) + 1 > merge_sets_threshold():
                     # manifest merge: consolidate into key-ordered,
                     # range-disjoint chunks so both the set list and
