@@ -198,3 +198,47 @@ def test_source_pruning_with_comma_in_source_value(spark, tmp_path):
     assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0, "ok": True}
     # a filter value equal to one of the comma-halves matches nothing
     assert decode_job.decode(spark, root, sources=["cc"]).count() == 0
+
+
+def test_point_lookup_salt_pruning(spark, enc_root):
+    """Exact doc_id lookup prunes by salt = crc32(doc_id) % n_salts on
+    top of the min/max range skipping (which a hash-spread layout
+    barely narrows): correct rows, and strictly fewer chunks touched
+    than the range predicate alone."""
+    import zlib
+    df, root = enc_root
+    target = "doc-000000000123"
+    out = decode_job.decode(spark, root, doc_id_min=target,
+                            doc_id_max=target)
+    expected = df.filter(F.col("doc_id") == target)
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0,
+                                               "ok": True}
+    # python-side salt must agree with the JVM-side partitioner
+    jvm_salt = (df.filter(F.col("doc_id") == target)
+                .select(F.pmod(F.crc32(F.col("doc_id")), F.lit(8)))
+                .collect()[0][0])
+    assert zlib.crc32(target.encode()) % 8 == jvm_salt
+    pages = encode_job.read_pages(spark, root)
+    by_range = pages.filter((F.col("doc_id_max") >= target)
+                            & (F.col("doc_id_min") <= target)).count()
+    with_salt = pages.filter((F.col("doc_id_max") >= target)
+                             & (F.col("doc_id_min") <= target)
+                             & (F.col("salt") == jvm_salt)).count()
+    assert with_salt < by_range, "salt should prune beyond the range"
+    assert with_salt >= 1
+
+
+def test_point_lookup_salt_pruning_split_doc(spark, tmp_path):
+    """All split parts of a doc share its salt: an exact lookup of an
+    oversized document still reassembles every part."""
+    from tokencodec.spark import synth
+    df = synth.token_table(spark, 60, seed=13).cache()
+    root = str(tmp_path / "t")
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=8,
+                      max_chunk_tokens=64)  # forces doc splitting
+    target = df.orderBy(F.desc("n_tok")).select("doc_id").first()[0]
+    out = decode_job.decode(spark, root, doc_id_min=target,
+                            doc_id_max=target)
+    expected = df.filter(F.col("doc_id") == target)
+    assert decode_job.audit(expected, out) == {"missing": 0, "extra": 0,
+                                               "ok": True}

@@ -393,6 +393,31 @@ def _out_ddl(cols: list[str], packed: bool, extras: tuple = ()) -> str:
                      + [f"{n} {t}" for n, t in extras])
 
 
+def _scheme_from_manifest(root: str, snapshot_id: int | None,
+                          branch: str | None = None) -> dict | None:
+    """The table's partitioning scheme, read from manifest JSON only.
+    Encode stamps it on every group commit and REFUSES to mix schemes
+    within one table (resume check in encode_job), and publish refuses
+    scheme mismatches — so the first scheme found walking parent links
+    is THE table's scheme. None when the chain predates the metric or
+    expired past it (callers must then skip scheme-derived pruning)."""
+    tbl = SnapshotTable(root, branch=branch)
+    snap = (tbl.current_snapshot() if snapshot_id is None
+            else tbl.snapshot(snapshot_id))
+    while snap is not None:
+        sch = snap.get("metrics", {}).get("scheme")
+        if sch:
+            return dict(sch)
+        pid = snap.get("parent_id")
+        if pid is None:
+            return None
+        try:
+            snap = tbl.snapshot(pid)
+        except FileNotFoundError:
+            return None
+    return None
+
+
 def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None,
                                  branch: str | None = None) -> int | None:
     """Max doc_parts over the target snapshot's ancestry, read from
@@ -529,6 +554,22 @@ def decode(spark: SparkSession, root: str,
         pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
     if doc_id_max is not None:
         pages = pages.filter(F.col("doc_id_min") <= doc_id_max)
+    if doc_id_min is not None and doc_id_min == doc_id_max:
+        # exact point lookup: under the (single, enforced) salt_mod
+        # scheme a doc's salt is crc32(doc_id) % n_salts — a pure
+        # function of the id — so the lookup prunes to ONE salt out of
+        # n_salts (65536 at design scale) on top of the min/max range
+        # skipping, which hash-bucketed layouts barely narrow. All
+        # split parts of a doc share its salt (partition.bucketed), and
+        # compaction/purge kernels preserve the salt column. NULL salt
+        # = unknown = keep (stats-pruning convention).
+        sch = _scheme_from_manifest(root, snapshot_id, branch=branch)
+        if sch is not None and sch.get("group_scheme") == "salt_mod" \
+                and int(sch.get("n_salts", 0)) > 0:
+            import zlib as _zlib
+            s_ = _zlib.crc32(doc_id_min.encode("utf-8")) % int(sch["n_salts"])
+            pages = pages.filter((F.col("salt") == int(s_))
+                                 | F.col("salt").isNull())
     if buckets is not None:
         pages = pages.filter(F.col("bucket").isin(buckets))
     if sources is not None:
