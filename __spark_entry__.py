@@ -280,6 +280,75 @@ ORDER BY doc_id
 """
 
 
+def q_engine_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match doc_id lookup under the oracle: decode() with
+    doc_id_min == doc_id_max engages BOTH metadata pruners — salt
+    derivation (crc32(id) % n_salts from the manifest scheme) and the
+    per-chunk doc-id Bloom filter (tokencodec/bloom.py) — and must
+    return exactly the one document DuckDB computes, token-stream
+    md5 included. The target is the lexicographically smallest doc_id
+    (a one-row planning lookup on the driver — point lookups are
+    inherently driver-parameterized); on this 64-token-budget root it
+    is usually a SPLIT document, so Bloom pruning must keep every
+    part's chunk."""
+    from tokencodec.spark import decode_job
+    target = _t(spark, sf_dir, "documents").agg(
+        F.min(F.format_string("d%09d", "doc_id"))).first()[0]
+    out = decode_job.decode(spark, _docs_root(spark, sf_dir),
+                            doc_id_min=target, doc_id_max=target)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+        .alias("tok_md5"))
+
+
+SQL_ENGINE_POINT_LOOKUP = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum,
+       md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t WHERE doc_id = (SELECT min(doc_id) FROM t)
+"""
+
+
+def q_engine_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact-match lookup (decode(doc_ids=[...]) — the takedown-
+    verification shape): chunk pruning by id-range overlap, the UNION
+    of the targets' derived salts, and any-of Bloom membership; rows
+    re-filtered to the exact set. Targets: the smallest and largest
+    doc_id plus one id that does not exist (it must contribute zero
+    rows), so both the multi-salt path and the absent-id path are
+    under the oracle."""
+    from tokencodec.spark import decode_job
+    mm = _t(spark, sf_dir, "documents").agg(
+        F.min(F.format_string("d%09d", "doc_id")).alias("lo"),
+        F.max(F.format_string("d%09d", "doc_id")).alias("hi")).first()
+    targets = [mm["lo"], mm["hi"], "d-absent-id"]
+    out = decode_job.decode(spark, _docs_root(spark, sf_dir),
+                            doc_ids=targets)
+    return (out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.aggregate("tokens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("tok_sum"))
+        .orderBy("doc_id"))
+
+
+SQL_ENGINE_BATCH_LOOKUP = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum
+FROM t
+WHERE doc_id IN ((SELECT min(doc_id) FROM t), (SELECT max(doc_id) FROM t))
+ORDER BY doc_id
+"""
+
+
 def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the oracle: encode the documents-derived table
     with a tiny budget (many under-filled chunks + split docs), rewrite
@@ -2922,6 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
         "engine_decode_rows": q_engine_decode_rows,
         "engine_decode_pruned": q_engine_decode_pruned,
+        "engine_point_lookup": q_engine_point_lookup,
+        "engine_batch_lookup": q_engine_batch_lookup,
         "engine_compact_roundtrip": q_engine_compact_roundtrip,
         "engine_decode_projection": q_engine_decode_projection,
         "engine_lineage": q_engine_lineage,
@@ -2991,6 +3062,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_roundtrip_audit": SQL_ENGINE_ROUNDTRIP_AUDIT,
         "engine_decode_rows": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_pruned": SQL_ENGINE_DECODE_PRUNED,
+        "engine_point_lookup": SQL_ENGINE_POINT_LOOKUP,
+        "engine_batch_lookup": SQL_ENGINE_BATCH_LOOKUP,
         "engine_compact_roundtrip": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,

@@ -99,6 +99,18 @@ def main() -> None:
         encode_job.pack_source(spark, src),
         decode_job.decode(spark, root, packed=True)), reps=2)
 
+    # exact-id lookups (round-5 session 5): salt derivation + per-chunk
+    # Bloom pruning leave ~1 chunk (resp. ~1 per target) to parse — the
+    # wall is planning + metadata filter + single-chunk decode, and at
+    # design scale it is INDEPENDENT of table size (1/n_salts metadata,
+    # Bloom-filtered chunk list), unlike a scan
+    timed("q_point_lookup", lambda: decode_job.decode(
+        spark, root, doc_id_min=f"doc-{123:012d}",
+        doc_id_max=f"doc-{123:012d}").count(), reps=3)
+    timed("q_batch_lookup", lambda: decode_job.decode(
+        spark, root, doc_ids=[f"doc-{3:012d}", f"doc-{123:012d}",
+                              f"doc-{n_rows - 1:012d}"]).count(), reps=3)
+
     # reference parquet (uncompressed Spark writer — the baseline artifact)
     ref = f"/tmp/tokencodec_bench/ref_{os.getpid()}"
     timed("q_ref_parquet_write",

@@ -358,5 +358,5 @@ def test_fsck_validates_extra_pages(spark, tmp_path):
     rep = fsck.fsck(spark, root).cache()
     bad = rep.filter(~F.col("ok")).collect()
     assert not bad, bad[:3]
-    # 4 core pages + 2 extra pages checked per chunk
-    assert rep.agg(F.min("crc_checked")).collect()[0][0] == 6
+    # 4 core pages + 1 doc_bloom + 2 extra pages checked per chunk
+    assert rep.agg(F.min("crc_checked")).collect()[0][0] == 7

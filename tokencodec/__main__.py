@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("out")
     dec.add_argument("--doc-id-min")
     dec.add_argument("--doc-id-max")
+    dec.add_argument("--doc-ids",
+                     help="comma-separated EXACT doc_id batch lookup "
+                          "(salt + Bloom chunk pruning; takedown-sized "
+                          "lists; mutually exclusive with --doc-id-min/max)")
     dec.add_argument("--packed", action="store_true",
                      help="tokens as LE-int32 binary blobs (fast transport)")
     dec.add_argument("--columns",
@@ -395,7 +399,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from tokencodec.spark import decode_job
             df = decode_job.decode(spark, args.root, doc_id_min=args.doc_id_min,
-                                   doc_id_max=args.doc_id_max, packed=args.packed,
+                                   doc_id_max=args.doc_id_max,
+                                   doc_ids=(args.doc_ids.split(",")
+                                            if args.doc_ids else None),
+                                   packed=args.packed,
                                    columns=(args.columns.split(",")
                                             if args.columns else None),
                                    snapshot_id=args.snapshot_id,

@@ -418,6 +418,26 @@ def _scheme_from_manifest(root: str, snapshot_id: int | None,
     return None
 
 
+def _bloom_keep(target_doc_ids: list[str]):
+    """pandas_udf testing target doc_ids against each chunk's Bloom
+    blob (any-of for batch lookups). Runs on chunk METADATA rows only
+    (the lookup paths filter after range+salt pruning, so the input is
+    already a small chunk list, not row data)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def keep(blobs):
+        import pandas as pd
+        from tokencodec import bloom
+        if len(target_doc_ids) == 1:
+            return pd.Series(bloom.series_might_contain(
+                blobs.to_numpy(), target_doc_ids[0]))
+        return pd.Series(bloom.series_might_contain_any(
+            blobs.to_numpy(), target_doc_ids))
+
+    return keep
+
+
 def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None,
                                  branch: str | None = None) -> int | None:
     """Max doc_parts over the target snapshot's ancestry, read from
@@ -476,6 +496,7 @@ def _delete_ids(spark: SparkSession, root: str,
 
 def decode(spark: SparkSession, root: str,
            doc_id_min: str | None = None, doc_id_max: str | None = None,
+           doc_ids: list[str] | None = None,
            buckets: list[int] | None = None, packed: bool = False,
            columns: list[str] | None = None,
            snapshot_id: int | None = None,
@@ -501,8 +522,19 @@ def decode(spark: SparkSession, root: str,
     filter applies to the reassembled document length.
     ``columns`` projects at the page level: only the requested columns'
     binary pages are read and parsed.
+    ``doc_ids`` is the batch exact-match lookup (takedown verification,
+    sample fetch): chunks are pruned by id-range overlap, the union of
+    the targets' derived salts, and any-of Bloom membership, then rows
+    re-filtered to the exact set. Takedown-sized lists by contract
+    (the same bound as delete sets — the list is broadcast in the plan
+    and hashed once per chunk batch); mutually exclusive with
+    doc_id_min/max.
     """
     from pyspark.sql import functions as F
+
+    if doc_ids is not None and (doc_id_min is not None
+                                or doc_id_max is not None):
+        raise ValueError("pass either doc_ids or doc_id_min/max, not both")
 
     # time travel by name: a tag (SnapshotTable.create_tag) resolves to
     # its pinned snapshot id — one manifest-dir read, no Spark job
@@ -543,7 +575,7 @@ def decode(spark: SparkSession, root: str,
     dels = None if paths is not None else _delete_ids(spark, root, snapshot_id,
                                                       branch=branch)
     needs_doc = (doc_id_min is not None or doc_id_max is not None
-                 or dels is not None
+                 or doc_ids is not None or dels is not None
                  or "tokens" in cols or "n_tok" in cols)
     if needs_doc and "doc_id" not in cols:
         cols = ["doc_id"] + cols
@@ -570,6 +602,39 @@ def decode(spark: SparkSession, root: str,
             s_ = _zlib.crc32(doc_id_min.encode("utf-8")) % int(sch["n_salts"])
             pages = pages.filter((F.col("salt") == int(s_))
                                  | F.col("salt").isNull())
+        # Bloom pruning (tokencodec/bloom.py): within the surviving
+        # salt, skip chunks whose per-chunk doc-id filter proves the
+        # target absent — the remaining chunks of a salt share one
+        # hash-spread id range, so only the Bloom bits distinguish
+        # them. Chunk-granular pandas_udf over METADATA rows (the
+        # already-pruned chunk list), never row data; NULL blob
+        # (pre-bloom files) = unknown = keep. Split parts carry the
+        # doc's own id in every part's filter.
+        pages = pages.filter(_bloom_keep([doc_id_min])(F.col("doc_bloom")))
+    if doc_ids is not None:
+        if not doc_ids:
+            pages = pages.filter(F.lit(False))
+        else:
+            targets = sorted(set(doc_ids))
+            # a chunk survives only if its id range covers AT LEAST ONE
+            # target (exists over the literal array — JVM-side; the
+            # list is takedown-sized by contract). NULL stats = keep.
+            ids_arr = F.array(*[F.lit(d) for d in targets])
+            pages = pages.filter(
+                F.col("doc_id_min").isNull() | F.col("doc_id_max").isNull()
+                | F.exists(ids_arr, lambda d: (F.col("doc_id_min") <= d)
+                           & (F.col("doc_id_max") >= d)))
+            # union of the targets' derived salts (same scheme logic as
+            # the point lookup), then any-of Bloom membership
+            sch = _scheme_from_manifest(root, snapshot_id, branch=branch)
+            if sch is not None and sch.get("group_scheme") == "salt_mod" \
+                    and int(sch.get("n_salts", 0)) > 0:
+                import zlib as _zlib
+                salts = sorted({_zlib.crc32(d.encode("utf-8"))
+                                % int(sch["n_salts"]) for d in targets})
+                pages = pages.filter(F.col("salt").isin(salts)
+                                     | F.col("salt").isNull())
+            pages = pages.filter(_bloom_keep(targets)(F.col("doc_bloom")))
     if buckets is not None:
         pages = pages.filter(F.col("bucket").isin(buckets))
     if sources is not None:
@@ -663,6 +728,8 @@ def decode(spark: SparkSession, root: str,
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
+    if doc_ids is not None:
+        out = out.filter(F.col("doc_id").isin(list(doc_ids)))
     if sources is not None:
         out = out.filter(F.col("source").isin(sources))
     if n_tok_min is not None:

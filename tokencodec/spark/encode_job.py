@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tokencodec import codecs, pageformat
+from tokencodec import bloom, codecs, pageformat
 from tokencodec.spark import partition as part
 from tokencodec.spark.table import SnapshotTable
 
@@ -52,7 +52,11 @@ PAGES_DDL = (
     # keyed by column name; chunks from commits predating a column
     # simply lack its key (or the whole map, on pre-r5 files) and decode
     # it as NULL — Iceberg's add-column back-fill semantics
-    "extra_pages map<string,binary>"
+    "extra_pages map<string,binary>, "
+    # per-chunk doc-id Bloom filter (tokencodec/bloom.py): point lookups
+    # prune chunks the id provably isn't in; NULL (pre-bloom files) =
+    # unknown = keep
+    "doc_bloom binary"
 )
 
 # Spark type name -> page kind for supported extra columns
@@ -162,6 +166,10 @@ def _encode_chunk(bucket: int, salt: int, seq: int,
         "n_tok_max": int(n_tok.max()) if n_rows else 0,
         "extra_pages": sorted((extras or {}).items()),
         "source_set": source_set,
+        # pruning metadata like doc_id_min/max, NOT page bytes: excluded
+        # from enc_bytes (compression ratio measures the data pages)
+        "doc_bloom": bloom.build(doc_id.to_numpy(zero_copy_only=False))
+                     if n_rows else None,
     }
 
 
@@ -182,6 +190,7 @@ _PAGES_TYPES = {
     "n_tok_min": pa.int32(), "n_tok_max": pa.int32(),
     "source_set": pa.string(),
     "extra_pages": pa.map_(pa.string(), pa.binary()),
+    "doc_bloom": pa.binary(),
 }
 
 

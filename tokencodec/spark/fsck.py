@@ -28,7 +28,7 @@ REPORT_DDL = ("chunk_uid string, ok boolean, error string, "
 
 _COLS = ["chunk_uid", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
          "page_tokens", "page_doc_id", "page_n_tok", "page_source",
-         "extra_pages"]
+         "extra_pages", "doc_bloom"]
 
 
 def _check_chunk(row: dict) -> tuple[bool, str, int]:
@@ -39,8 +39,22 @@ def _check_chunk(row: dict) -> tuple[bool, str, int]:
         h_tok = pageformat.read_header(row["page_tokens"])
         tok = pageformat.decode_int_page(row["page_tokens"])  # CRC-verified
         checked += 1
-        do, _ = pageformat.decode_string_page(row["page_doc_id"])
+        do, dd = pageformat.decode_string_page(row["page_doc_id"])
         checked += 1
+        # Bloom integrity: every stored doc_id must test positive in the
+        # chunk's filter (false positives are fine; a false negative
+        # means decode's point-lookup pruning would DROP this chunk's
+        # rows). NULL blob (pre-bloom files) is legitimate.
+        if row.get("doc_bloom") is not None and len(do) - 1 == row["n_rows"]:
+            from tokencodec import bloom
+            ids = pa.Array.from_buffers(
+                pa.large_utf8(), row["n_rows"],
+                [None, pa.py_buffer(np.ascontiguousarray(do)),
+                 pa.py_buffer(dd)]).to_numpy(zero_copy_only=False)
+            if not bloom.contains_all(row["doc_bloom"], ids):
+                return (False, "doc_bloom misses a stored doc_id "
+                        "(point lookups would mis-prune)", checked)
+            checked += 1
         so, _ = pageformat.decode_string_page(row["page_source"])
         checked += 1
         # schema-evolution extra pages: CRC + per-row count, and their
