@@ -94,10 +94,9 @@ def test_fs_for_refuses_unsafe_schemes_without_native_client():
     """Stores without an atomic create-exclusive through Hadoop and
     without a native conditional-put client are refused for manifest IO
     unless the caller opts into single-writer mode. (s3 schemes resolve
-    to the native ObjectStoreFS, and gs:// to the native GCS JSON-API
-    client since round 5 — tests/test_objectstore.py.)"""
-    with pytest.raises(ValueError, match="create-exclusive"):
-        fs_for("wasb://bucket/table")
+    to the native ObjectStoreFS, gs:// to the native GCS JSON-API
+    client, and wasb[s]/abfs[s] to the native Azure Blob REST client
+    since round 5 — tests/test_objectstore.py.)"""
     with pytest.raises(ValueError, match="create-exclusive"):
         fs_for("oss://bucket/table")
 

@@ -366,6 +366,51 @@ def test_commit_race_loser_rebases_across_sets(tmp_path):
     assert len(got) == 22
 
 
+def test_commit_race_loser_reclaims_spilled_sets(tmp_path):
+    """A losing attempt that had already spilled new set files deletes
+    them on the retry path (they are uuid-named and referenced by
+    nothing): after the commit lands, the groupsets dir holds EXACTLY
+    the files referenced by the snapshot chain — no orphan waits for
+    age-guarded GC. (Crash-mid-commit leaks still fall to orphan GC,
+    covered by test_orphan_gc_ages_unreferenced_sets.)"""
+    tbl = _mk(tmp_path)
+    tbl.commit(_groups(20))  # parent already owns spilled sets
+    parent = tbl.current_snapshot()
+    winner = {"snapshot_id": parent["snapshot_id"] + 1,
+              "parent_id": parent["snapshot_id"],
+              "timestamp_ms": 0,
+              "groups": dict(parent["groups"], w0=["/w0.parquet"]),
+              "new_groups": ["w0"], "metrics": {},
+              "group_manifests": list(parent["group_manifests"])}
+    real_excl = tbl.fs.create_excl
+    state = {"planted": False}
+
+    def racy(path, text):
+        if not state["planted"] and "/snapshot-" in path:
+            state["planted"] = True
+            real_excl(tbl._snap_path(winner["snapshot_id"]),
+                      json.dumps(winner))
+        return real_excl(path, text)
+
+    tbl.fs.create_excl = racy
+    try:
+        # 9 new groups + winner's inline w0 > threshold 8 -> BOTH the
+        # losing attempt and the winning retry spill a fresh set file
+        snap = tbl.commit(_groups(9, pref="l"))
+    finally:
+        tbl.fs.create_excl = real_excl
+    assert snap["snapshot_id"] == winner["snapshot_id"] + 1
+    got = tbl.committed_groups()
+    assert got["w0"] == ["/w0.parquet"] and len(got) == 30
+    referenced = set()
+    for sid in range(snap["snapshot_id"] + 1):
+        s = tbl._read_snap(sid)
+        referenced |= {e["name"] for e in s.get("group_manifests", [])}
+    on_disk = {n for n in tbl.fs.listdir(tbl.groupsets_dir())
+               if n.startswith("groupset-")}
+    assert on_disk == referenced, (on_disk - referenced)
+
+
 def test_commit_race_duplicate_after_rebase_refused(tmp_path):
     """The loser's group key already landed via the winner: the rebase
     must refuse (duplicate-key guard against the RESOLVED key space)."""

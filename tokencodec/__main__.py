@@ -17,11 +17,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tokencodec")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores")
     p.add_argument("--allow-unsafe-root", action="store_true",
-                   help="opt a rename-unsafe manifest scheme (gs://, "
-                        "wasb://, ...) into single-writer commits; "
-                        "equivalent to TOKENCODEC_ALLOW_UNSAFE_ROOT=1. "
-                        "s3:// commits natively via conditional PUT when "
-                        "boto3 is installed and needs no opt-in")
+                   help="opt a rename-unsafe manifest scheme with no "
+                        "native client (oss://, ...) into single-writer "
+                        "commits; equivalent to "
+                        "TOKENCODEC_ALLOW_UNSAFE_ROOT=1. s3://, gs://, "
+                        "wasb[s]:// and abfs[s]:// commit natively via "
+                        "conditional PUT and need no opt-in")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     enc = sub.add_parser("encode", help="encode a parquet token table into a snapshot table")

@@ -218,11 +218,18 @@ class HadoopFS:
 # check-then-create and its rename is copy+delete, so the snapshot
 # claim is unsafe against concurrent committers through that API.
 # s3/s3a/s3n are served NATIVELY by ObjectStoreFS (conditional PUTs
-# via boto3) when boto3 is importable, and gs:// natively over the GCS
-# JSON API (ifGenerationMatch=0, stdlib HTTP — round 5); the remaining
-# schemes here are refused unless the caller opts into single-writer
-# mode.
-RENAME_UNSAFE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss"})
+# via boto3) when boto3 is importable, gs:// natively over the GCS
+# JSON API (ifGenerationMatch=0, stdlib HTTP — round 5), and
+# wasb[s]/abfs[s] natively over the Azure Blob REST API
+# (If-None-Match: * Put Blob — round 5); the remaining schemes here
+# are refused unless the caller opts into single-writer mode. abfs is
+# listed because on flat (non-hierarchical-namespace) blob accounts
+# Hadoop's create is not atomic — the native conditional PUT is safe
+# on both account kinds, so it is the default either way.
+RENAME_UNSAFE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs",
+                                   "abfs", "abfss", "oss"})
+
+_AZURE_SCHEMES = frozenset({"wasb", "wasbs", "abfs", "abfss"})
 
 # Schemes ObjectStoreFS can commit on safely with native conditional
 # writes (If-None-Match PUT — public AWS capability, and faithfully
@@ -242,8 +249,9 @@ def fs_for(root: str, allow_unsafe: bool | None = None):
     deployments whose s3a credential setup (custom providers, assumed
     roles) boto3 cannot replicate even with the fs.s3a.* endpoint/key
     harvesting the native client performs. The env var does NOT demote
-    s3 — it exists to enable gs/wasb, and native conditional-PUT
-    commits stay the safer default wherever they work."""
+    s3 — it exists to enable the schemes with no native client (oss),
+    and native conditional-PUT commits stay the safer default wherever
+    they work."""
     explicit_unsafe = allow_unsafe is True
     if allow_unsafe is None:
         allow_unsafe = os.environ.get(
@@ -266,6 +274,12 @@ def fs_for(root: str, allow_unsafe: bool | None = None):
         # allow_unsafe=True still selects the Hadoop gcs-connector path
         from tokencodec.spark.objectstore import ObjectStoreFS
         return ObjectStoreFS.for_gcs(root)
+    if scheme in _AZURE_SCHEMES and not explicit_unsafe:
+        # native Azure Blob REST client: If-None-Match:* Put Blob gives
+        # wasb/abfs the same safe multi-writer commit protocol; an
+        # explicit allow_unsafe=True still selects the Hadoop connector
+        from tokencodec.spark.objectstore import ObjectStoreFS
+        return ObjectStoreFS.for_azure(root)
     if scheme in RENAME_UNSAFE_SCHEMES and not allow_unsafe:
         raise ValueError(
             f"manifest root scheme '{scheme}://' has no atomic "

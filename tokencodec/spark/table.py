@@ -519,6 +519,7 @@ class SnapshotTable:
             sid = parent["snapshot_id"] + 1 if parent else 0
             inline = dict(parent["groups"]) if parent else {}
             sets = list(parent.get("group_manifests", [])) if parent else []
+            prior_sets = {e["name"] for e in sets}
             if replace:
                 # rewrite ONLY set files whose keys actually changed;
                 # everything else is referenced verbatim (compaction
@@ -599,6 +600,19 @@ class SnapshotTable:
                                     json.dumps(snap, indent=1))
             except FileExistsError as e:
                 last_err = e
+                # set files spilled by THIS failed attempt can never be
+                # referenced by anyone else (uuid names, written only
+                # for the snapshot id we just lost): reclaim them now —
+                # best-effort — instead of leaving them to age-guarded
+                # orphan GC (which still covers the crash-mid-commit
+                # case this in-process cleanup cannot)
+                for e_ in sets:
+                    if e_["name"] not in prior_sets:
+                        try:
+                            self.fs.delete(posixpath.join(
+                                self.groupsets_dir(), e_["name"]))
+                        except Exception:
+                            pass
                 occ = self._read_snap(sid)
                 if occ is None:
                     # the id is occupied by an unreadable file — with
