@@ -349,6 +349,71 @@ ORDER BY doc_id
 """
 
 
+def _upsert_root(spark: SparkSession, sf_dir: str) -> str:
+    """A documents-derived table exercised through the FULL sequence-
+    number lifecycle (maintenance.upsert_docs / delete_docs): docs with
+    numeric id % 13 == 0 are atomically REPLACED with reversed token
+    streams (upsert = new data + equality-delete manifest in one
+    commit), and docs with id % 13 == 1 are deleted then re-added
+    unchanged — visible again only because a delete masks rows
+    committed strictly BEFORE it (table.group_seqs). Every op is
+    content-idempotent, so re-running the builder converges on the
+    same logical table."""
+    from tokencodec.spark import maintenance
+    from tokencodec.spark.table import SnapshotTable
+    n = _t(spark, sf_dir, "documents").count()
+    root = f"/tmp/tokencodec_entry/docs_upsert_{_sfkey(sf_dir)}_n{n}"
+    if root not in _ENGINE_CACHE:
+        from tokencodec.spark import encode_job
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("int")
+        encode_job.encode(spark, df, root, commit_groups=2,
+                          max_chunk_tokens=64, direct_write=True)
+        done = {s.get("metrics", {}).get("op")
+                for s in SnapshotTable(root).snapshots()}
+        if "upsert" not in done:  # first build of this root
+            maintenance.upsert_docs(
+                spark, root,
+                df.filter(num % 13 == 0)
+                .withColumn("tokens", F.reverse("tokens")),
+                max_chunk_tokens=64)
+            readd = df.filter(num % 13 == 1)
+            maintenance.delete_docs(
+                spark, root, readd.select("doc_id"))
+            maintenance.upsert_docs(spark, root, readd,
+                                    max_chunk_tokens=64)
+        _ENGINE_CACHE[root] = root
+    return root
+
+
+def q_engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE under the oracle: decode the upsert-lifecycle root
+    (_upsert_root) and emit per-doc token-stream digests. id % 13 == 0
+    docs must carry the REPLACED (reversed) streams, id % 13 == 1 docs
+    must be PRESENT with their original streams (deleted then re-added
+    — the sequence rule at work), and everything else must be
+    untouched; the md5 distinguishes orderings the token sum cannot."""
+    from tokencodec.spark import decode_job
+    out = decode_job.decode(spark, _upsert_root(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+
+SQL_ENGINE_UPSERT = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       md5(array_to_string(list_transform(
+           CASE WHEN CAST(substring(doc_id, 2) AS INT) % 13 = 0
+                THEN list_reverse(toks) ELSE toks END,
+           x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t
+"""
+
+
 def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the oracle: encode the documents-derived table
     with a tiny budget (many under-filled chunks + split docs), rewrite
@@ -2993,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_decode_pruned": q_engine_decode_pruned,
         "engine_point_lookup": q_engine_point_lookup,
         "engine_batch_lookup": q_engine_batch_lookup,
+        "engine_upsert": q_engine_upsert,
         "engine_compact_roundtrip": q_engine_compact_roundtrip,
         "engine_decode_projection": q_engine_decode_projection,
         "engine_lineage": q_engine_lineage,
@@ -3064,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_decode_pruned": SQL_ENGINE_DECODE_PRUNED,
         "engine_point_lookup": SQL_ENGINE_POINT_LOOKUP,
         "engine_batch_lookup": SQL_ENGINE_BATCH_LOOKUP,
+        "engine_upsert": SQL_ENGINE_UPSERT,
         "engine_compact_roundtrip": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,

@@ -171,6 +171,16 @@ def main(argv: list[str] | None = None) -> int:
     dele.add_argument("doc_ids", help="comma-separated doc_ids, or @file "
                                       "with one id per line")
 
+    ups = sub.add_parser(
+        "upsert",
+        help="atomic MERGE by doc_id: replace the table's rows for the "
+             "source's doc_ids with the source's rows in ONE commit "
+             "(re-encoded data group + equality-delete manifest at equal "
+             "sequence number — older copies vanish, replacements stay)")
+    ups.add_argument("src", help="parquet dir of replacement rows "
+                                 "(doc_id, tokens, n_tok, source [+ extras])")
+    ups.add_argument("root")
+
     prg = sub.add_parser(
         "purge",
         help="physically rewrite files to drop rows covered by committed "
@@ -447,6 +457,12 @@ def main(argv: list[str] | None = None) -> int:
                 strict=args.strict)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        elif args.cmd == "upsert":
+            from tokencodec.spark import maintenance
+            snap = maintenance.upsert_docs(spark, args.root,
+                                           spark.read.parquet(args.src))
+            print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                              "metrics": snap["metrics"]}))
         elif args.cmd == "delete":
             from tokencodec.spark import maintenance
             if args.doc_ids.startswith("@"):

@@ -218,12 +218,13 @@ def spark_type_of_extra_page(page) -> str:
 
 
 def make_decode_batches(packed: bool = False, cols: list[str] | None = None,
-                        extras: tuple = ()):
+                        extras: tuple = (), with_seq: bool = False):
     cols = list(ALL_COLUMNS) if cols is None else cols
     page_cols = sorted({_COL_PAGE[c] for c in cols}
                        | ({"page_n_tok"} if "tokens" in cols else set()))
 
-    scal = tuple(_LINEAGE_COLS) + (("extra_pages",) if extras else ())
+    scal = (tuple(_LINEAGE_COLS) + (("extra_pages",) if extras else ())
+            + (("data_seq",) if with_seq else ()))
 
     def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for _, pages, sc in iter_page_rows(it, page_cols, scal):
@@ -238,17 +239,23 @@ def make_decode_batches(packed: bool = False, cols: list[str] | None = None,
                 for name, t in extras:
                     arrays.append(_extra_array(m.get(name), t, n))
                     names.append(name)
-            yield pa.RecordBatch.from_arrays(
-                arrays
-                + [pa.array([sc["doc_part"]] * n, pa.int32()),
-                   pa.array([sc["doc_parts"]] * n, pa.int32()),
-                   pa.array([sc["split_uid"]] * n, pa.string())],
-                names=names + _LINEAGE_COLS)
+            arrays += [pa.array([sc["doc_part"]] * n, pa.int32()),
+                       pa.array([sc["doc_parts"]] * n, pa.int32()),
+                       pa.array([sc["split_uid"]] * n, pa.string())]
+            names = names + _LINEAGE_COLS
+            if with_seq:
+                # per-chunk commit seq (delete masking): rows of one
+                # chunk share their file's group, hence its seq
+                arrays.append(pa.array([sc["data_seq"]] * n, pa.int64()))
+                names = names + ["data_seq"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return decode_batches, page_cols + (["extra_pages"] if extras else [])
+    return decode_batches, (page_cols + (["extra_pages"] if extras else [])
+                            + (["data_seq"] if with_seq else []))
 
 
-def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
+def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = (),
+                        with_seq: bool = False):
     """mapInArrow over SPLIT-PART page rows, co-partitioned by the split
     group (``sgrp``) and sorted (sgrp, doc_part): linear reassembly of
     oversized documents. Each split-part chunk is single-row by
@@ -265,9 +272,10 @@ def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
     page_cols = sorted({_COL_PAGE[c] for c in dec_cols}
                        | ({"page_tokens"} if need_tok else set())
                        | ({"page_n_tok"} if need_ntok else set()))
-    in_cols = page_cols + (["extra_pages"] if extras else [])
+    in_cols = (page_cols + (["extra_pages"] if extras else [])
+               + (["data_seq"] if with_seq else []))
     ext_names = [n for n, _ in extras]
-    out_names = cols + ext_names
+    out_names = cols + ext_names + (["data_seq"] if with_seq else [])
 
     def stitch(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # bind at call time so tests can shrink the thresholds
@@ -303,6 +311,10 @@ def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
                 done[c].append(first[c])
             for n_ in ext_names:
                 done[n_].append(first_ext.get(n_))
+            if with_seq:
+                # parts of one split doc are committed together: the
+                # first part's chunk seq IS the document's seq
+                done["data_seq"].append(first_ext.get("data_seq"))
             if need_tok:
                 done["tokens"].append(v)
                 done_bytes += v.nbytes
@@ -347,11 +359,14 @@ def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
                     arrays.append(pa.array(done[c], type=pa.string()))
             for n_, t in extras:
                 arrays.append(pa.array(done[n_], type=_EXTRA_PA[t]))
+            if with_seq:
+                arrays.append(pa.array(done["data_seq"], type=pa.int64()))
             done = {c: [] for c in out_names}
             done_bytes = 0
             return pa.RecordBatch.from_arrays(arrays, names=out_names)
 
-        scal = ("extra_pages",) if extras else ()
+        scal = (("extra_pages",) if extras else ()) \
+            + (("data_seq",) if with_seq else ())
         for (g,), pages, scalars in iter_page_rows(it, page_cols, scal,
                                                    ("sgrp",)):
             if g != cur:
@@ -376,6 +391,8 @@ def make_stitch_batches(packed: bool, cols: list[str], extras: tuple = ()):
                     for n_, t in extras:
                         first_ext[n_] = (
                             _extra_array(m.get(n_), t, 1)[0].as_py())
+                if with_seq:
+                    first_ext["data_seq"] = scalars["data_seq"]
         pre = finish_group()
         if pre is not None:
             yield pre
@@ -474,24 +491,116 @@ def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None,
             return None
 
 
-def _delete_ids(spark: SparkSession, root: str,
-                snapshot_id: int | None,
-                branch: str | None = None) -> DataFrame | None:
-    """Deleted doc_ids recorded by the target snapshot's DELETE
-    manifests (maintenance.delete_docs), or None when there are none.
-    Time travel honors history: a snapshot before the delete commit has
-    no del: groups and still shows the rows."""
+# legacy delete manifests (chains whose first-commit attribution
+# predates both the retained chain and the side file) mask EVERY data
+# seq — the pre-sequence-number global semantics
+_LEGACY_DEL_SEQ = 1 << 62
+
+
+def _norm_path(p: str) -> str:
+    """Canonicalize a data path for matching against Spark's
+    ``_metadata.file_path``: drop the scheme (Spark may render
+    ``file:/x``, ``file:///x`` or ``s3a://b/k`` for a committed
+    ``/x`` / ``s3://b/k``) and leading slashes, leaving a bare
+    ``segments/...`` key that both sides agree on."""
+    import re
+    return re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", "", p).lstrip("/")
+
+
+def _delete_plan(spark: SparkSession, root: str,
+                 snapshot_id: int | None,
+                 branch: str | None = None) -> dict | None:
+    """Delete manifests of the target snapshot resolved into masking
+    inputs. None when the snapshot carries no deleted ids; otherwise
+    ``{"dels": DF, "path_seqs": dict | None}``:
+
+    - Legacy mode (no delete group has attributable first-commit seq —
+      tables from before sequence tracking): ``dels`` is the plain
+      distinct doc_id set, ``path_seqs`` is None, and masking is global
+      — byte-identical behavior to the pre-seq engine.
+    - Sequence mode (Iceberg equality-delete semantics): ``dels`` is
+      (doc_id, del_seq) with the NEWEST delete seq per id, and
+      ``path_seqs`` maps scheme-normalized data paths to their group's
+      first-commit seq — ONLY for groups at/after the oldest known
+      delete (older/ancient data defaults to seq -1, masked by every
+      delete, so the broadcast map is bounded by the data committed
+      since the oldest unpurged delete, not by table size)."""
+    from pyspark.sql import functions as F
+
     from tokencodec.spark.table import SnapshotTable, is_delete_group
     tbl = SnapshotTable(root, branch=branch)
     snap = (tbl.current_snapshot() if snapshot_id is None
             else tbl.snapshot(snapshot_id))
     if snap is None:
         return None
-    paths = [p for k, ps in tbl.resolve_groups(snap).items()
-             if is_delete_group(k) for p in ps]
-    if not paths:
+    groups = tbl.resolve_groups(snap)
+    del_groups = {k: ps for k, ps in groups.items()
+                  if is_delete_group(k) and ps}
+    if not del_groups:
         return None
-    return spark.read.schema("doc_id string").parquet(*paths).distinct()
+    seqs = tbl.group_seqs(snap)
+    known = {k: seqs[k] for k in del_groups if k in seqs}
+    if not known:
+        df = (spark.read.schema("doc_id string")
+              .parquet(*[p for ps in del_groups.values() for p in ps])
+              .distinct())
+        return {"dels": df, "path_seqs": None}
+    dels = None
+    for k, ps in sorted(del_groups.items()):
+        part = (spark.read.schema("doc_id string").parquet(*ps)
+                .withColumn("del_seq",
+                            F.lit(known.get(k, _LEGACY_DEL_SEQ))
+                            .cast("bigint")))
+        dels = part if dels is None else dels.unionByName(part)
+    # a doc deleted more than once: the NEWEST delete governs (max seq)
+    dels = dels.groupBy("doc_id").agg(F.max("del_seq").alias("del_seq"))
+    min_seq = min(known.values())
+    path_seqs = {_norm_path(p): s for g, s in seqs.items()
+                 if not is_delete_group(g) and s >= min_seq
+                 for p in groups.get(g, [])}
+    return {"dels": dels, "path_seqs": path_seqs}
+
+
+def _attach_data_seq(spark: SparkSession, pages: DataFrame,
+                     path_seqs: dict) -> DataFrame:
+    """Stamp each chunk row with its group's first-commit seq
+    (``data_seq``). Committed paths come in two granularities — exact
+    .parquet files (direct-write / purge commits) and run DIRECTORIES
+    (classic JVM-write commits, upserts) — so the scheme-normalized
+    ``_metadata.file_path`` is matched exactly first, then by its
+    parent directory. Unmatched files default to -1 ("ancient",
+    masked by every delete — correct, the map covers everything at or
+    after the oldest unpurged delete). Both lookups are broadcast
+    joins over chunk METADATA rows, bounded by the data committed
+    since that delete."""
+    from pyspark.sql import functions as F
+
+    if not path_seqs:
+        # no data at/after the oldest delete: everything is maskable
+        # (also dodges _metadata on an empty-table literal DataFrame)
+        return pages.withColumn("data_seq", F.lit(-1).cast("bigint"))
+    files = sorted((p, s) for p, s in path_seqs.items()
+                   if p.endswith(".parquet"))
+    dirs = sorted((p, s) for p, s in path_seqs.items()
+                  if not p.endswith(".parquet"))
+    pages = pages.withColumn(
+        "_fp", F.regexp_replace(F.regexp_replace(
+            F.col("_metadata.file_path"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", ""))
+    if files:
+        fdf = spark.createDataFrame(files, "_fp string, _fseq bigint")
+        pages = pages.join(F.broadcast(fdf), "_fp", "left")
+    else:
+        pages = pages.withColumn("_fseq", F.lit(None).cast("bigint"))
+    pages = pages.withColumn("_fd", F.regexp_replace("_fp", "/[^/]*$", ""))
+    if dirs:
+        ddf = spark.createDataFrame(dirs, "_fd string, _dseq bigint")
+        pages = pages.join(F.broadcast(ddf), "_fd", "left")
+    else:
+        pages = pages.withColumn("_dseq", F.lit(None).cast("bigint"))
+    return (pages.withColumn(
+        "data_seq", F.coalesce("_fseq", "_dseq", F.lit(-1)).cast("bigint"))
+        .drop("_fp", "_fd", "_fseq", "_dseq"))
 
 
 def decode(spark: SparkSession, root: str,
@@ -568,12 +677,17 @@ def decode(spark: SparkSession, root: str,
     if (n_tok_min is not None or n_tok_max is not None) and "n_tok" not in cols:
         cols = cols + ["n_tok"]
     # row-level deletes (equality-delete manifests): applied as a
-    # broadcast anti-join on doc_id after decode. Explicit-paths reads
-    # (decode_changes) are scoped by their caller and skip them — an
-    # incremental consumer sees appends only; delete commits are not a
-    # changelog event in this engine.
-    dels = None if paths is not None else _delete_ids(spark, root, snapshot_id,
-                                                      branch=branch)
+    # broadcast anti-join on doc_id after decode — sequence-aware when
+    # attribution exists (a delete masks only rows committed strictly
+    # BEFORE it, Iceberg's equality-delete rule, which is what makes
+    # upsert re-adds visible), global on legacy chains. Explicit-paths
+    # reads (decode_changes) are scoped by their caller and skip them —
+    # an incremental consumer sees appends only; delete commits are not
+    # a changelog event in this engine.
+    del_plan = None if paths is not None else _delete_plan(
+        spark, root, snapshot_id, branch=branch)
+    dels = del_plan["dels"] if del_plan is not None else None
+    seq_aware = del_plan is not None and del_plan["path_seqs"] is not None
     needs_doc = (doc_id_min is not None or doc_id_max is not None
                  or doc_ids is not None or dels is not None
                  or "tokens" in cols or "n_tok" in cols)
@@ -582,6 +696,8 @@ def decode(spark: SparkSession, root: str,
 
     pages = read_pages(spark, root, snapshot_id=snapshot_id, paths=paths,
                        branch=branch)
+    if seq_aware:
+        pages = _attach_data_seq(spark, pages, del_plan["path_seqs"])
     if doc_id_min is not None:
         pages = pages.filter(F.col("doc_id_max") >= doc_id_min)
     if doc_id_max is not None:
@@ -680,9 +796,12 @@ def decode(spark: SparkSession, root: str,
     any_split = bool(max_parts and max_parts > 1)
     # column pruning down to the PAGE level: only requested columns'
     # binary pages (+ part markers) cross the Arrow boundary
-    fn, page_cols = make_decode_batches(packed, cols, extras)
+    fn, page_cols = make_decode_batches(packed, cols, extras,
+                                        with_seq=seq_aware)
     out_ddl = _out_ddl(cols, packed, extras)
-    lineage_ddl = ", doc_part int, doc_parts int, split_uid string"
+    seq_ddl = ", data_seq bigint" if seq_aware else ""
+    lineage_ddl = (", doc_part int, doc_parts int, split_uid string"
+                   + seq_ddl)
     if not any_split:
         out = (pages.select(page_cols + _LINEAGE_COLS)
                .mapInArrow(fn, out_ddl + lineage_ddl)
@@ -711,19 +830,32 @@ def decode(spark: SparkSession, root: str,
         # files, incl. inside mixed-version tables) carry NULL
         # split_uid; their chunks hold exactly one doc, so the chunk
         # stat doc_id_min (== the doc's id) is the historical group key.
-        sfn, spage_cols = make_stitch_batches(packed, cols, extras)
+        sfn, spage_cols = make_stitch_batches(packed, cols, extras,
+                                              with_seq=seq_aware)
         stitched = (pages.filter(F.col("doc_parts") > 1)
                     .withColumn("sgrp", F.coalesce(F.col("split_uid"),
                                                    F.col("doc_id_min")))
                     .select(spage_cols + ["sgrp", "doc_part"])
                     .repartition("sgrp")
                     .sortWithinPartitions("sgrp", "doc_part")
-                    .mapInArrow(sfn, out_ddl))
+                    .mapInArrow(sfn, out_ddl + seq_ddl))
         out = whole.unionByName(stitched)
     if dels is not None:
         # takedown-sized sets by contract (maintenance.delete_docs):
         # broadcast the ids, drop every copy and every split part
-        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        if seq_aware:
+            # Iceberg equality-delete rule: a delete masks only rows
+            # whose commit seq is strictly below its own — a doc
+            # re-added by a LATER commit (or by the same upsert commit,
+            # equal seqs) stays visible
+            d = dels.select(F.col("doc_id").alias("_del_id"), "del_seq")
+            out = (out.join(F.broadcast(d),
+                            (F.col("doc_id") == F.col("_del_id"))
+                            & (F.col("del_seq") > F.col("data_seq")),
+                            "left_anti")
+                   .drop("data_seq"))
+        else:
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
     if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:

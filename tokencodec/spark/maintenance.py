@@ -501,12 +501,132 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
     return tbl.commit({f"del:{_uuid.uuid4().hex[:8]}": files}, metrics=m)
 
 
-def _purge_batches(ids: frozenset, uid_prefix: str):
+def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
+                max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+                parquet_codec: str = "zstd",
+                branch: str | None = None) -> dict:
+    """Atomic MERGE by doc_id (Iceberg's row-level MERGE over equality
+    deletes): replace the table's current rows for ``df``'s doc_ids
+    with ``df``'s rows in ONE commit — readers see either the old
+    versions or the new ones, never a mix and never a gap. The commit
+    carries the re-encoded data group AND a delete manifest of the same
+    ids at EQUAL sequence number; decode's equality-delete rule ("a
+    delete masks only rows committed strictly before it",
+    table.group_seqs) keeps the replacements visible while every older
+    copy — including pre-existing rows the same ids had — disappears.
+    This is the re-crawl/curation-refresh shape a training corpus
+    needs; for pure takedown use ``delete_docs``, for bulk rewrite
+    re-encode.
+
+    ``df`` must carry the core columns (doc_id, tokens, n_tok, source);
+    extra columns follow encode's schema-evolution rules. New chunks
+    are bucketed under the TABLE's committed salt scheme, so salt and
+    Bloom pruning keep working on the replacements."""
+    import uuid as _uuid
+    from tokencodec.spark.decode_job import _scheme_from_manifest
+    from tokencodec.spark.encode_job import (_EXTRA_KINDS, make_encoder,
+                                             next_chain_max,
+                                             next_table_totals)
+
+    tbl = SnapshotTable(root, branch=branch)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    scheme = _scheme_from_manifest(root, None, branch=branch)
+    if not scheme or scheme.get("group_scheme") != "salt_mod" \
+            or int(scheme.get("n_salts", 0)) <= 0:
+        raise ValueError(
+            "upsert_docs requires a table with a committed salt_mod "
+            "scheme (encode_job.encode writes one); this chain records "
+            f"{scheme!r}")
+    core = {"doc_id", "tokens", "n_tok", "source"}
+    missing = core - set(df.columns)
+    if missing:
+        raise ValueError(f"upsert frame lacks core columns {sorted(missing)}")
+    extra_schema = {}
+    for f in df.schema.fields:
+        if f.name in core:
+            continue
+        t = f.dataType.simpleString()
+        if t not in _EXTRA_KINDS:
+            raise ValueError(f"unsupported extra column {f.name}: {t}")
+        extra_schema[f.name] = t
+    extra_cols = tuple(sorted(extra_schema.items()))
+    nonce = _uuid.uuid4().hex[:8]
+    prefix = f"ups{nonce}-"
+
+    # replacement ids -> delete manifest (same shape as delete_docs)
+    ids_df = df.select("doc_id").distinct()
+    n_ids = ids_df.count()
+    if n_ids == 0:
+        raise ValueError("empty upsert frame (use delete_docs for "
+                         "pure deletions)")
+    del_dir = tbl.new_run_dir()
+    ids_df.write.mode("overwrite").parquet(del_dir)
+    del_files = sorted(posixpath.join(del_dir, n)
+                       for n in tbl.fs.listdir(del_dir)
+                       if n.endswith(".parquet"))
+
+    # re-encode the replacements under the table's own salt scheme
+    sel = ["doc_id", "tokens", "n_tok", "source"] + [n for n, _ in extra_cols]
+    bucketed = part.bucketed(df.select(sel),
+                             n_salts=int(scheme["n_salts"]),
+                             partitions=spark.sparkContext.defaultParallelism)
+    encoder = make_encoder(max_chunk_tokens, commit_groups=1,
+                           extra_cols=extra_cols, group_prefix=prefix)
+    pages = bucketed.mapInArrow(encoder, PAGES_DDL)
+    from pyspark.sql import Observation
+    obs = Observation()
+    pages = pages.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.max("doc_parts").alias("max_doc_parts"))
+    run_dir = tbl.new_run_dir()
+    (pages.write.mode("overwrite")
+     .option("compression", parquet_codec).parquet(run_dir))
+    got = obs.get
+    m = {k: int(got[k] or 0) for k in
+         ("n_chunks", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
+          "max_doc_parts")}
+    m.update({"op": "upsert", "n_delete_ids": int(n_ids),
+              "scheme": scheme})
+    if extra_schema:
+        m["extra_schema"] = extra_schema
+    esc = next_extra_schema_chain(snap, extra_schema)
+    if esc is not None:
+        m["extra_schema_chain"] = esc
+    totals = next_table_totals(snap, m)
+    if totals is not None:
+        m["table_totals"] = totals
+    cmax = next_chain_max(snap, m["max_doc_parts"])
+    if cmax is not None:
+        m["max_doc_parts_chain"] = cmax
+    data_files = [run_dir] if m["n_chunks"] else []
+    if not m["n_chunks"]:
+        tbl.fs.delete(run_dir, recursive=True)
+    # ONE commit: replacements + their equality-delete manifest land
+    # at the same sequence number (all-or-nothing for readers)
+    return tbl.commit({f"{prefix}0": data_files,
+                       f"del:{nonce}": del_files}, metrics=m)
+
+
+def _purge_batches(ids, uid_prefix: str):
     """mapInArrow over FULL page rows of delete-affected files: rows
     whose chunk holds no deleted doc pass through byte-identical; chunks
     losing some docs are decoded, row-masked, and re-encoded; chunks
     losing every doc (incl. split-part chunks, single-doc by
-    construction) are dropped."""
+    construction) are dropped.
+
+    ``ids`` is a frozenset (legacy chains: every copy of a listed id
+    dies) or a {doc_id: del_seq} dict (sequence-aware chains: a copy
+    dies only when its chunk's ``data_seq`` — an extra input column —
+    is strictly below the id's newest delete seq, so upsert
+    replacements survive the purge of the versions they superseded)."""
+    seq_mode = isinstance(ids, dict)
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from tokencodec.spark.decode_job import _binary_views, _string_array
@@ -522,7 +642,12 @@ def _purge_batches(ids: frozenset, uid_prefix: str):
             for r in range(batch.num_rows):
                 off, data = views["page_doc_id"]
                 docs = _string_array(data[off[r]:off[r + 1]]).to_pylist()
-                dead = [d in ids for d in docs]
+                if seq_mode:
+                    rs = batch.column(idx["data_seq"])[r].as_py()
+                    rs = -1 if rs is None else int(rs)
+                    dead = [d in ids and ids[d] > rs for d in docs]
+                else:
+                    dead = [d in ids for d in docs]
                 if not any(dead):
                     keep_mask.append(True)
                     continue
@@ -572,6 +697,10 @@ def _purge_batches(ids: frozenset, uid_prefix: str):
                     f"{uid_prefix}-{batch.column(idx['chunk_uid'])[r].as_py()}")
                 rows.append(row)
             passthrough = batch.filter(pa.array(keep_mask))
+            if seq_mode:
+                # the data_seq input column is not part of PAGES_DDL
+                passthrough = passthrough.select(
+                    [n for n in batch.schema.names if n != "data_seq"])
             if passthrough.num_rows:
                 yield passthrough
             if rows:
@@ -594,13 +723,30 @@ def purge_deletes(spark: SparkSession, root: str,
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     grp_map = tbl.resolve_groups(snap)
-    del_paths = [p for k, ps in grp_map.items()
-                 if is_delete_group(k) for p in ps]
+    del_groups = {k: ps for k, ps in grp_map.items()
+                  if is_delete_group(k) and ps}
+    del_paths = [p for ps in del_groups.values() for p in ps]
     if not del_paths:
         return snap
-    ids = frozenset(
-        r[0] for r in spark.read.schema("doc_id string")
-        .parquet(*del_paths).distinct().collect())
+    # sequence-aware when any delete group's first-commit attribution
+    # survives (table.group_seqs): ids become {id: newest del seq} and
+    # only strictly-older copies die — upsert replacements survive the
+    # purge of the versions they superseded. Legacy chains keep the
+    # global frozenset semantics byte-for-byte.
+    from tokencodec.spark.decode_job import _LEGACY_DEL_SEQ, _norm_path
+    seqs = tbl.group_seqs(snap)
+    known = {k: seqs[k] for k in del_groups if k in seqs}
+    if known:
+        ids: dict[str, int] = {}
+        for k, ps in sorted(del_groups.items()):
+            s = known.get(k, _LEGACY_DEL_SEQ)
+            for r in (spark.read.schema("doc_id string").parquet(*ps)
+                      .distinct().collect()):
+                ids[r[0]] = max(ids.get(r[0], -1), s)
+    else:
+        ids = frozenset(
+            r[0] for r in spark.read.schema("doc_id string")
+            .parquet(*del_paths).distinct().collect())
     data_paths = [p for k, ps in grp_map.items()
                   if not is_delete_group(k) for p in ps]
     uid_prefix = f"prg{snap['snapshot_id'] + 1}"
@@ -635,8 +781,17 @@ def purge_deletes(spark: SparkSession, root: str,
             selected = list(data_paths)
         if selected:
             from tokencodec.spark.encode_job import _PAGES_TYPES
-            pages = (spark.read.schema(PAGES_DDL).parquet(*selected)
-                     .select(*_PAGES_TYPES))
+            pages = spark.read.schema(PAGES_DDL).parquet(*selected)
+            sel_cols = list(_PAGES_TYPES)
+            if known:
+                from tokencodec.spark.decode_job import _attach_data_seq
+                min_seq = min(known.values())
+                path_seqs = {_norm_path(p): s for g, s in seqs.items()
+                             if not is_delete_group(g) and s >= min_seq
+                             for p in grp_map.get(g, [])}
+                pages = _attach_data_seq(spark, pages, path_seqs)
+                sel_cols = sel_cols + ["data_seq"]
+            pages = pages.select(*sel_cols)
             out = pages.mapInArrow(_purge_batches(ids, uid_prefix),
                                    PAGES_DDL)
             from pyspark.sql import Observation
@@ -1196,6 +1351,19 @@ def expire_snapshots(root: str, keep_last: int = 1,
             left = tbl.fs.listdir(d)
             if not any(n.endswith(".parquet") for n in left):
                 tbl.fs.delete(d, recursive=True)
+    # sequence-number attribution (table.group_seqs) must survive chain
+    # truncation, or a delete older than the retention window would
+    # start masking data that was committed AFTER it (upsert re-adds).
+    # Persist {group: first-commit seq} for the current groups into the
+    # side file BEFORE the dropped manifests disappear — but only while
+    # delete manifests exist: attribution is only consumed by delete
+    # masking, and data that expires attribution with NO active deletes
+    # correctly predates any future delete ("ancient" = masked).
+    cur_groups = tbl.resolve_groups(snaps[-1])
+    if any(is_delete_group(k) for k in cur_groups):
+        tbl.write_group_seqs(tbl.group_seqs(snaps[-1]))
+    elif tbl.fs.exists(tbl._group_seqs_path()):
+        tbl.fs.delete(tbl._group_seqs_path())  # stale: no dels to serve
     for s in drop:
         tbl.fs.delete(posixpath.join(
             tbl.manifest_dir, f"snapshot-{s['snapshot_id']:06d}.json"))

@@ -258,6 +258,61 @@ class SnapshotTable:
                 else self.snapshot(snapshot_id))
         return self.resolve_groups(snap) if snap else {}
 
+    # ----------------------------------------------------- sequence numbers
+    # Iceberg's data sequence numbers, at group granularity: the seq of
+    # a group is the snapshot_id of the commit that FIRST introduced it.
+    # Equality deletes (del:* manifests) apply only to rows whose group
+    # seq is strictly below the delete's own seq — which is what lets an
+    # atomic upsert (maintenance.upsert_docs: new data + delete manifest
+    # in ONE commit, equal seqs) re-add a doc_id without the delete
+    # masking the replacement, and lets a doc deleted then re-encoded
+    # later become visible again. Attribution sources, in precedence
+    # order: the retained chain's new_groups lists (rewrite commits —
+    # op compact/purge/rewrite_manifests — re-list keys they rewrote
+    # and are skipped; first-wins guards legacy rewrite snapshots), then
+    # the group-seqs.json side file expire_snapshots maintains so
+    # attribution survives chain truncation. A group absent from both is
+    # "ancient" (predates seq tracking): callers treat it as seq -1 for
+    # data (masked by every delete) and as +inf for delete groups
+    # (legacy global-masking semantics preserved).
+
+    _REWRITE_OPS = frozenset({"compact", "purge", "rewrite_manifests"})
+
+    def _group_seqs_path(self) -> str:
+        return posixpath.join(self.manifest_dir, "group-seqs.json")
+
+    def read_group_seqs(self) -> dict[str, int]:
+        """The persisted attribution side file ({group: seq}); {} when
+        none was ever written (tables that never expired attribution)."""
+        try:
+            d = json.loads(self.fs.read_text(self._group_seqs_path()))
+        except (FileNotFoundError, ValueError):
+            return {}
+        return {str(k): int(v) for k, v in d.items()} \
+            if isinstance(d, dict) else {}
+
+    def write_group_seqs(self, seqs: dict[str, int]) -> None:
+        self.fs.write_atomic(self._group_seqs_path(),
+                             json.dumps(dict(sorted(seqs.items())), indent=1))
+
+    def group_seqs(self, snap: dict | None = None) -> dict[str, int]:
+        """{group_key: first-commit snapshot_id} for the groups of
+        ``snap`` (default: current). Groups whose introduction predates
+        both the retained chain and the side file are ABSENT."""
+        if snap is None:
+            snap = self.current_snapshot()
+        if snap is None:
+            return {}
+        groups = set(self.resolve_groups(snap))
+        out = {k: v for k, v in self.read_group_seqs().items() if k in groups}
+        for s in self.chain(snap["snapshot_id"]):  # oldest-first
+            if s.get("metrics", {}).get("op") in self._REWRITE_OPS:
+                continue
+            for k in s.get("new_groups", []):
+                if k in groups and k not in out:
+                    out[k] = s["snapshot_id"]
+        return out
+
     def data_paths(self, snapshot_id: int | None = None) -> list[str]:
         """Paths of DATA groups — delete-manifest groups (del:*) hold
         deleted-id parquet, not table rows, and are never data."""
