@@ -172,6 +172,12 @@ def main() -> None:
         timed(f"q_audit@{BIG_MULT}x", lambda: decode_job.audit(
             encode_job.pack_source(spark, big_src),
             decode_job.decode(spark, big_root, packed=True)), reps=2)
+        # the scale claim behind salt+Bloom lookups is that the wall is
+        # ~INDEPENDENT of table size (metadata filter + ~1 chunk parse):
+        # the @Mx wall landing near the 1x wall is the evidence
+        timed(f"q_point_lookup@{BIG_MULT}x", lambda: decode_job.decode(
+            spark, big_root, doc_id_min=f"doc-{123:012d}",
+            doc_id_max=f"doc-{123:012d}").count(), reps=3)
         bagg = (encode_job.read_pages(spark, big_root)
                 .agg(F.sum("n_tokens").alias("t")).collect()[0])
         big = {

@@ -130,3 +130,23 @@ def test_epoch_shuffle_window_is_sharded(spark):
     for spec in specs:
         assert re.match(r"windowspecdefinition\(epoch#\d+, shard#\d+, ",
                         spec), f"under-partitioned Window: {spec}"
+
+
+def test_seq_aware_delete_plan_broadcasts(spark, tmp_path):
+    """Sequence-aware delete masking must stay broadcast-only: the
+    path->seq stamps and the (doc_id, del_seq) anti-join are broadcast
+    hash joins over chunk metadata / takedown-sized sets — no
+    sort-merge join, no extra shuffle of decoded rows — and the pages
+    scan still reads only the needed page columns."""
+    from tokencodec.spark import maintenance
+    root = str(tmp_path / "enc")
+    df = synth.token_table(spark, 200, seed=5)
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=4)
+    maintenance.upsert_docs(
+        spark, root,
+        df.filter(F.col("doc_id") == "doc-000000000003"))
+    plan = _formatted(decode_job.decode(spark, root), spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "page_tokens" in read_schema
