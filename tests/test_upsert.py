@@ -228,3 +228,43 @@ def test_upsert_chain_stacks(spark, table):
     assert decode_job.audit(exp, out2) == {"missing": 0, "extra": 0,
                                            "ok": True}
     assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+
+
+def test_compact_after_upsert_keeps_replacements(spark, tmp_path):
+    """compact purges pending deletes FIRST (seq-aware since the
+    upsert landed): a compaction run over an upserted table must merge
+    chunks without resurrecting superseded copies or dropping
+    replacements."""
+    root = str(tmp_path / "t")
+    df = synth.token_table(spark, 300, seed=23).cache()
+    encode_job.encode(spark, df, root, commit_groups=1, n_salts=4,
+                      max_chunk_tokens=2000, direct_write=True)
+    targets = _targets(df, 6)
+    rep = (df.filter(F.col("doc_id").isin(targets))
+           .withColumn("tokens", F.reverse("tokens")))
+    maintenance.upsert_docs(spark, root, rep, max_chunk_tokens=2000)
+    before = encode_job.read_pages(spark, root).count()
+    maintenance.compact(spark, root, max_chunk_tokens=2000)
+    after = encode_job.read_pages(spark, root).count()
+    assert after < before
+    out = decode_job.decode(spark, root)
+    assert decode_job.audit(_replaced(df, targets), out) == {
+        "missing": 0, "extra": 0, "ok": True}
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0
+
+
+def test_point_lookup_of_replaced_doc_with_active_deletes(spark, table):
+    """Salt+Bloom point lookup composes with sequence-aware masking:
+    looking up a replaced id while its delete manifest is still
+    unpurged returns exactly the REPLACEMENT row."""
+    root, df = table
+    t = _targets(df, 1)[0]
+    rep = (df.filter(F.col("doc_id") == t)
+           .withColumn("tokens", F.reverse("tokens")))
+    maintenance.upsert_docs(spark, root, rep)
+    out = decode_job.decode(spark, root, doc_id_min=t, doc_id_max=t)
+    assert decode_job.audit(rep, out) == {"missing": 0, "extra": 0,
+                                          "ok": True}
+    batch = decode_job.decode(spark, root, doc_ids=[t, "doc-absent"])
+    assert decode_job.audit(rep, batch) == {"missing": 0, "extra": 0,
+                                            "ok": True}
