@@ -356,13 +356,15 @@ def _upsert_root(spark: SparkSession, sf_dir: str) -> str:
     streams (upsert = new data + equality-delete manifest in one
     commit), and docs with id % 13 == 1 are deleted then re-added
     unchanged — visible again only because a delete masks rows
-    committed strictly BEFORE it (table.group_seqs). Every op is
-    content-idempotent, so re-running the builder converges on the
-    same logical table."""
+    committed strictly BEFORE it (table.group_seqs). The root is then
+    MIGRATED to a new salt count (maintenance.resalt — partition
+    evolution), so the oracle also proves the rewrite is row-exact.
+    Every op is content-idempotent, so re-running the builder
+    converges on the same logical table."""
     from tokencodec.spark import maintenance
     from tokencodec.spark.table import SnapshotTable
     n = _t(spark, sf_dir, "documents").count()
-    root = f"/tmp/tokencodec_entry/docs_upsert_{_sfkey(sf_dir)}_n{n}"
+    root = f"/tmp/tokencodec_entry/docs_upsert2_{_sfkey(sf_dir)}_n{n}"
     if root not in _ENGINE_CACHE:
         from tokencodec.spark import encode_job
         df = _docs_token_df(spark, sf_dir)
@@ -382,6 +384,7 @@ def _upsert_root(spark: SparkSession, sf_dir: str) -> str:
                 spark, root, readd.select("doc_id"))
             maintenance.upsert_docs(spark, root, readd,
                                     max_chunk_tokens=64)
+            maintenance.resalt(spark, root, 12, max_chunk_tokens=64)
         _ENGINE_CACHE[root] = root
     return root
 

@@ -181,6 +181,14 @@ def main(argv: list[str] | None = None) -> int:
                                  "(doc_id, tokens, n_tok, source [+ extras])")
     ups.add_argument("root")
 
+    rs = sub.add_parser(
+        "resalt",
+        help="partition evolution: rewrite the WHOLE table under a new "
+             "salt count (O(table) by nature; purges pending deletes "
+             "first; time travel below the resalt keeps the old scheme)")
+    rs.add_argument("root")
+    rs.add_argument("--n-salts", type=int, required=True)
+
     prg = sub.add_parser(
         "purge",
         help="physically rewrite files to drop rows covered by committed "
@@ -457,6 +465,11 @@ def main(argv: list[str] | None = None) -> int:
                 strict=args.strict)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        elif args.cmd == "resalt":
+            from tokencodec.spark import maintenance
+            snap = maintenance.resalt(spark, args.root, args.n_salts)
+            print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                              "metrics": snap["metrics"]}))
         elif args.cmd == "upsert":
             from tokencodec.spark import maintenance
             snap = maintenance.upsert_docs(spark, args.root,

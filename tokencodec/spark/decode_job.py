@@ -945,7 +945,7 @@ def changed_paths(root: str, since_snapshot_id: int,
     from tokencodec.spark.table import is_delete_group
     out: list[str] = []
     for s in chain[ids.index(since_snapshot_id) + 1:]:
-        if s.get("metrics", {}).get("op") in ("compact", "purge"):
+        if s.get("metrics", {}).get("op") in ("compact", "purge", "resalt"):
             continue  # rewrite-files: no logical rows added
         keys = [k for k in s.get("new_groups", []) if not is_delete_group(k)]
         if not keys:

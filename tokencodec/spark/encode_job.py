@@ -637,6 +637,23 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
                  if f"{group_prefix}{g}" not in done]
     if not remaining:
         return read_pages(spark, out_root, branch=branch)
+    # salt-scheme consistency for APPENDS (any prefix): the table's
+    # n_salts is load-bearing — point/batch lookups derive a doc's salt
+    # from the CHAIN's scheme, so chunks salted under a different count
+    # would be silently mis-pruned (dropped rows). Adopt the committed
+    # n_salts when the caller left it unset; an explicit mismatch is
+    # refused below (same-prefix resumes by the resume check, fresh
+    # prefixes by the append guard — maintenance.resalt is the
+    # sanctioned migration path).
+    chain_scheme = None
+    if done:
+        from tokencodec.spark.decode_job import _scheme_from_manifest
+        chain_scheme = _scheme_from_manifest(out_root, None, branch=branch)
+        if not (chain_scheme and chain_scheme.get("group_scheme")
+                == "salt_mod" and int(chain_scheme.get("n_salts", 0)) > 0):
+            chain_scheme = None
+    if n_salts is None and chain_scheme:
+        n_salts = int(chain_scheme["n_salts"])
     if n_salts is None:
         n_salts = part.salts_for(df.count())
     # resume safety: group membership is salt(n_salts) % commit_groups,
@@ -654,6 +671,13 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
             raise ValueError(
                 f"cannot resume {out_root}: committed scheme {prev} != "
                 f"this run's {scheme} (pass matching n_salts/commit_groups)")
+    elif chain_scheme and int(n_salts) != int(chain_scheme["n_salts"]):
+        raise ValueError(
+            f"append n_salts {int(n_salts)} != the table's committed "
+            f"{int(chain_scheme['n_salts'])}: chunks salted under a "
+            "different count break salt-derived lookup pruning; omit "
+            "n_salts to adopt the table's scheme, or migrate with "
+            "maintenance.resalt")
     if partitions is None:
         # 4x tasks per core smooths (bucket, salt) group-size stragglers
         partitions = spark.sparkContext.defaultParallelism * 4

@@ -501,6 +501,100 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
     return tbl.commit({f"del:{_uuid.uuid4().hex[:8]}": files}, metrics=m)
 
 
+def resalt(spark: SparkSession, root: str, n_salts: int,
+           max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
+           parquet_codec: str = "zstd") -> dict:
+    """Partition evolution (Iceberg's partition-spec evolution, made
+    eager): migrate the WHOLE table to a new salt count in one
+    replace-commit. The salt scheme fixed at creation sizes the
+    metadata slice an exact-id lookup touches (1/n_salts) and the
+    (bucket, salt) shuffle granularity — a table that grew 100x past
+    its planning assumptions can outlive them here instead of being
+    re-ingested. Every chunk is decoded, re-bucketed under the new
+    scheme, and re-encoded (rows and their extra columns
+    bit-identical; audit-tested); this is honestly O(table) — the same
+    cost every engine pays to re-partition data that carries its
+    partition in its layout. Pending row-level deletes are purged
+    first (like compact), so the rewrite starts from a clean masking
+    slate; time travel below the resalt keeps resolving under the OLD
+    scheme (the scheme metric is read from the target snapshot's own
+    chain)."""
+    from tokencodec.spark.decode_job import _scheme_from_manifest, decode
+    from tokencodec.spark.encode_job import (make_encoder, next_chain_max,
+                                             next_extra_schema_chain,
+                                             next_table_totals,
+                                             table_extra_schema)
+
+    if int(n_salts) <= 0:
+        raise ValueError("n_salts must be positive")
+    tbl = SnapshotTable(root)
+    snap = tbl.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    old = _scheme_from_manifest(root, None)
+    if not old or old.get("group_scheme") != "salt_mod":
+        raise ValueError(f"resalt requires a salt_mod table; chain "
+                         f"records {old!r}")
+    if int(old.get("n_salts", 0)) == int(n_salts):
+        return snap
+    grp_map = tbl.resolve_groups(snap)
+    if any(is_delete_group(k) and ps for k, ps in grp_map.items()):
+        snap = purge_deletes(spark, root, parquet_codec=parquet_codec)
+        grp_map = tbl.resolve_groups(snap)
+    extra_schema = table_extra_schema(root) or {}
+    extra_cols = tuple(sorted(extra_schema.items()))
+    cols = ["doc_id", "tokens", "n_tok", "source"] + [n for n, _ in extra_cols]
+    rows = decode(spark, root, columns=cols)
+    bucketed = part.bucketed(rows.select(cols), n_salts=int(n_salts),
+                             partitions=spark.sparkContext
+                             .defaultParallelism * 4)
+    uid_prefix = f"rs{snap['snapshot_id'] + 1}"
+    encoder = make_encoder(max_chunk_tokens, commit_groups=1,
+                           extra_cols=extra_cols, group_prefix=uid_prefix)
+    pages = bucketed.mapInArrow(encoder, PAGES_DDL)
+    from pyspark.sql import Observation
+    obs = Observation()
+    pages = pages.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.max("doc_parts").alias("max_doc_parts"))
+    run_dir = tbl.new_run_dir()
+    (pages.write.mode("overwrite")
+     .option("compression", parquet_codec).parquet(run_dir))
+    got = obs.get
+    m = {k: int(got[k] or 0) for k in
+         ("n_chunks", "n_rows", "n_tokens", "enc_bytes", "max_doc_parts")}
+    scheme = {"group_scheme": "salt_mod", "n_salts": int(n_salts),
+              "commit_groups": 1}
+    m.update({"op": "resalt", "scheme": scheme,
+              "n_salts_before": int(old["n_salts"])})
+    m["table_totals"] = {"n_chunks": m["n_chunks"], "n_rows": m["n_rows"],
+                         "n_tokens": m["n_tokens"],
+                         "enc_bytes": m["enc_bytes"]}
+    m["max_doc_parts_chain"] = m["max_doc_parts"]
+    esc = next_extra_schema_chain(snap, {})
+    if esc is not None:
+        m["extra_schema_chain"] = esc
+    # replace-commit: every old data group empties, the first carries
+    # the new layout (purge's attachment shape); old files stay
+    # referenced by parent snapshots until expiry, so time travel
+    # below the resalt still decodes under the old scheme
+    new_groups: dict[str, list[str]] = {}
+    attached = False
+    for k in sorted(grp_map):
+        if is_delete_group(k):
+            new_groups[k] = []
+            continue
+        new_groups[k] = [] if attached else [run_dir]
+        attached = True
+    if not attached:
+        raise ValueError(f"no data groups to resalt under {root}")
+    return tbl.commit(new_groups, metrics=m, replace=True)
+
+
 def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
                 max_chunk_tokens: int = part.MAX_CHUNK_TOKENS,
                 parquet_codec: str = "zstd",

@@ -276,7 +276,8 @@ class SnapshotTable:
     # data (masked by every delete) and as +inf for delete groups
     # (legacy global-masking semantics preserved).
 
-    _REWRITE_OPS = frozenset({"compact", "purge", "rewrite_manifests"})
+    _REWRITE_OPS = frozenset({"compact", "purge", "rewrite_manifests",
+                              "resalt"})
 
     def _group_seqs_path(self) -> str:
         return posixpath.join(self.manifest_dir, "group-seqs.json")
