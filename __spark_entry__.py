@@ -371,19 +371,24 @@ def _upsert_root(spark: SparkSession, sf_dir: str) -> str:
         num = F.substring("doc_id", 2, 9).cast("int")
         encode_job.encode(spark, df, root, commit_groups=2,
                           max_chunk_tokens=64, direct_write=True)
-        done = {s.get("metrics", {}).get("op")
-                for s in SnapshotTable(root).snapshots()}
-        if "upsert" not in done:  # first build of this root
+        # per-op convergence (not one all-or-nothing guard): a crash
+        # between any two lifecycle steps resumes from exactly the
+        # missing step, since each is content-idempotent
+        ops = [s.get("metrics", {}).get("op")
+               for s in SnapshotTable(root).snapshots()]
+        if ops.count("upsert") < 1:
             maintenance.upsert_docs(
                 spark, root,
                 df.filter(num % 13 == 0)
                 .withColumn("tokens", F.reverse("tokens")),
                 max_chunk_tokens=64)
-            readd = df.filter(num % 13 == 1)
-            maintenance.delete_docs(
-                spark, root, readd.select("doc_id"))
+        readd = df.filter(num % 13 == 1)
+        if ops.count("delete") < 1:
+            maintenance.delete_docs(spark, root, readd.select("doc_id"))
+        if ops.count("upsert") < 2:
             maintenance.upsert_docs(spark, root, readd,
                                     max_chunk_tokens=64)
+        if ops.count("resalt") < 1:
             maintenance.resalt(spark, root, 12, max_chunk_tokens=64)
         _ENGINE_CACHE[root] = root
     return root

@@ -441,3 +441,35 @@ def test_commit_race_duplicate_after_rebase_refused(tmp_path):
     finally:
         tbl.fs.create_excl = real_excl
     assert tbl.committed_groups()["w0"] == ["/theirs.parquet"]
+
+
+def test_ambiguous_commit_self_win_keeps_sets(tmp_path):
+    """A store-level retry can surface a conditional PUT that actually
+    LANDED as a conflict (response lost, client retried, got 412/409).
+    The committer must recognize its own manifest at the contested id
+    as a WIN: return it, keep its freshly spilled set files (they are
+    referenced!), and not retry into a duplicate-key failure."""
+    tbl = _mk(tmp_path)
+    tbl.commit(_groups(20))  # parent owns spilled sets
+    real_excl = tbl.fs.create_excl
+
+    def landed_but_reported_lost(path, text):
+        if "/snapshot-" in path:
+            real_excl(path, text)  # the PUT actually succeeded...
+            raise FileExistsError(path)  # ...but the client saw a loss
+        return real_excl(path, text)
+
+    tbl.fs.create_excl = landed_but_reported_lost
+    try:
+        snap = tbl.commit(_groups(9, pref="w"))  # spills a fresh set
+    finally:
+        tbl.fs.create_excl = real_excl
+    assert snap["snapshot_id"] == 1
+    got = tbl.committed_groups()
+    assert len(got) == 29 and "w0000" in got
+    # every referenced set file is on disk (nothing was reclaimed)
+    for e in snap.get("group_manifests", []):
+        assert tbl.fs.exists(
+            posixpath.join(tbl.groupsets_dir(), e["name"])), e
+    # and reads resolve cleanly through them
+    assert len(SnapshotTable(str(tmp_path / "t")).committed_groups()) == 29

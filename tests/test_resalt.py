@@ -122,3 +122,32 @@ def test_append_adopts_and_guards_chain_n_salts(spark, table, tmp_path):
     out2 = decode_job.decode(spark, root)
     assert decode_job.audit(df.unionByName(more).unionByName(more2),
                             out2) == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_resalt_refuses_concurrent_append(spark, table, monkeypatch):
+    """resalt's replace-commit validates the exact parent it planned
+    from (commit(require_parent_id=...)): a racing append planned
+    under the OLD n_salts must not be silently folded into the new
+    scheme — its chunks would be mis-pruned by salt lookups."""
+    root, df = table
+    real = SnapshotTable.commit
+    state = {"raced": False}
+
+    def racy(self, groups, metrics=None, **kw):
+        if kw.get("require_parent_id") is not None and not state["raced"]:
+            state["raced"] = True  # an append lands between plan and commit
+            real(self, {"race0": []}, metrics={})
+        return real(self, groups, metrics=metrics, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "commit", racy)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        maintenance.resalt(spark, root, 8, max_chunk_tokens=4096)
+    monkeypatch.setattr(SnapshotTable, "commit", real)
+    # the table is untouched: old scheme, every row decodable
+    assert decode_job._scheme_from_manifest(root, None)["n_salts"] == 4
+    out = decode_job.decode(spark, root)
+    assert decode_job.audit(df, out) == {"missing": 0, "extra": 0,
+                                         "ok": True}
+    # and a re-run against the advanced table succeeds
+    maintenance.resalt(spark, root, 8, max_chunk_tokens=4096)
+    assert decode_job._scheme_from_manifest(root, None)["n_salts"] == 8

@@ -134,8 +134,10 @@ def test_expire_persists_attribution(spark, table):
     assert decode_job.audit(df, out) == {"missing": 0, "extra": 0,
                                          "ok": True}
     # purge applies physically; the NEXT expiry drops the stale file
+    # (empty del groups mask nothing and hold no attribution alive)
     maintenance.purge_deletes(spark, root)
     maintenance.expire_snapshots(root, keep_last=1)
+    assert not tbl.fs.exists(tbl._group_seqs_path())
     out2 = decode_job.decode(spark, root)
     assert decode_job.audit(df, out2) == {"missing": 0, "extra": 0,
                                           "ok": True}
@@ -268,3 +270,60 @@ def test_point_lookup_of_replaced_doc_with_active_deletes(spark, table):
     batch = decode_job.decode(spark, root, doc_ids=[t, "doc-absent"])
     assert decode_job.audit(rep, batch) == {"missing": 0, "extra": 0,
                                             "ok": True}
+
+
+def test_branch_fork_carries_upsert_attribution(spark, table):
+    """A branch forked AFTER an upsert must see exactly the base
+    state: the fork writes a group-seqs side file with carried
+    attribution remapped below zero (branch ids restart), so the
+    un-purged delete manifest keeps masking only strictly-older
+    copies — not the replacements. A branch-side upsert then works on
+    its own timeline without touching main."""
+    root, df = table
+    targets = _targets(df, 3)
+    rep = (df.filter(F.col("doc_id").isin(targets))
+           .withColumn("tokens", F.reverse("tokens")))
+    maintenance.upsert_docs(spark, root, rep)
+    SnapshotTable(root).create_branch("audit")
+    out = decode_job.decode(spark, root, branch="audit")
+    assert decode_job.audit(_replaced(df, targets), out) == {
+        "missing": 0, "extra": 0, "ok": True}
+    # branch-side upsert: a v2 replacement visible on the branch only
+    v2 = (df.filter(F.col("doc_id") == targets[0])
+          .withColumn("tokens", F.slice(F.col("tokens"), 1, 3))
+          .withColumn("n_tok", F.least(F.col("n_tok"), F.lit(3))))
+    maintenance.upsert_docs(spark, root, v2, branch="audit")
+    br = decode_job.decode(spark, root, branch="audit")
+    exp_br = (_replaced(df, targets)
+              .filter(F.col("doc_id") != targets[0]).unionByName(v2))
+    assert decode_job.audit(exp_br, br) == {"missing": 0, "extra": 0,
+                                            "ok": True}
+    main = decode_job.decode(spark, root)
+    assert decode_job.audit(_replaced(df, targets), main) == {
+        "missing": 0, "extra": 0, "ok": True}
+
+
+def test_upsert_refuses_unattributed_deletes(spark, table):
+    """A delete manifest with no sequence attribution (pre-seq chain)
+    masks EVERY copy — an upsert on top would silently lose its
+    replacements, so it must refuse and point at purge_deletes."""
+    root, df = table
+    gone = _targets(df, 2)
+    maintenance.delete_docs(spark, root, gone)
+    tbl = SnapshotTable(root)
+    for name in tbl.fs.listdir(tbl.manifest_dir):
+        if name.startswith("snapshot-"):
+            p = os.path.join(tbl.manifest_dir, name)
+            s = json.loads(tbl.fs.read_text(p))
+            s.pop("new_groups", None)
+            tbl.fs.write_atomic(p, json.dumps(s))
+    with pytest.raises(ValueError, match="purge_deletes first"):
+        maintenance.upsert_docs(
+            spark, root, df.filter(F.col("doc_id").isin(gone)))
+    # purging applies the legacy deletes physically and unblocks upsert
+    maintenance.purge_deletes(spark, root)
+    maintenance.upsert_docs(spark, root,
+                            df.filter(F.col("doc_id").isin(gone)))
+    out = decode_job.decode(spark, root)
+    assert decode_job.audit(df, out) == {"missing": 0, "extra": 0,
+                                         "ok": True}

@@ -495,6 +495,10 @@ def _max_doc_parts_from_manifest(root: str, snapshot_id: int | None,
 # predates both the retained chain and the side file) mask EVERY data
 # seq — the pre-sequence-number global semantics
 _LEGACY_DEL_SEQ = 1 << 62
+# data with no attribution at all sorts below EVERY attributed seq —
+# including the sub-zero band branch forks remap carried attribution
+# into (create_branch) — so every delete masks it
+_ANCIENT_SEQ = -(1 << 62)
 
 
 def _norm_path(p: str) -> str:
@@ -522,7 +526,7 @@ def _delete_plan(spark: SparkSession, root: str,
       (doc_id, del_seq) with the NEWEST delete seq per id, and
       ``path_seqs`` maps scheme-normalized data paths to their group's
       first-commit seq — ONLY for groups at/after the oldest known
-      delete (older/ancient data defaults to seq -1, masked by every
+      delete (older/ancient data defaults to _ANCIENT_SEQ, masked by every
       delete, so the broadcast map is bounded by the data committed
       since the oldest unpurged delete, not by table size)."""
     from pyspark.sql import functions as F
@@ -554,11 +558,19 @@ def _delete_plan(spark: SparkSession, root: str,
         dels = part if dels is None else dels.unionByName(part)
     # a doc deleted more than once: the NEWEST delete governs (max seq)
     dels = dels.groupBy("doc_id").agg(F.max("del_seq").alias("del_seq"))
-    min_seq = min(known.values())
-    path_seqs = {_norm_path(p): s for g, s in seqs.items()
-                 if not is_delete_group(g) and s >= min_seq
-                 for p in groups.get(g, [])}
-    return {"dels": dels, "path_seqs": path_seqs}
+    return {"dels": dels,
+            "path_seqs": _path_seq_map(groups, seqs, min(known.values()))}
+
+
+def _path_seq_map(groups: dict, seqs: dict, min_seq: int) -> dict:
+    """{normalized data path: group seq} for groups at/after
+    ``min_seq`` — the single construction both decode's delete plan
+    and purge's rewrite use, so the bound and the normalization can
+    never diverge between the two masking paths."""
+    from tokencodec.spark.table import is_delete_group
+    return {_norm_path(p): s for g, s in seqs.items()
+            if not is_delete_group(g) and s >= min_seq
+            for p in groups.get(g, [])}
 
 
 def _attach_data_seq(spark: SparkSession, pages: DataFrame,
@@ -568,7 +580,7 @@ def _attach_data_seq(spark: SparkSession, pages: DataFrame,
     .parquet files (direct-write / purge commits) and run DIRECTORIES
     (classic JVM-write commits, upserts) — so the scheme-normalized
     ``_metadata.file_path`` is matched exactly first, then by its
-    parent directory. Unmatched files default to -1 ("ancient",
+    parent directory. Unmatched files default to _ANCIENT_SEQ ("ancient",
     masked by every delete — correct, the map covers everything at or
     after the oldest unpurged delete). Both lookups are broadcast
     joins over chunk METADATA rows, bounded by the data committed
@@ -578,7 +590,8 @@ def _attach_data_seq(spark: SparkSession, pages: DataFrame,
     if not path_seqs:
         # no data at/after the oldest delete: everything is maskable
         # (also dodges _metadata on an empty-table literal DataFrame)
-        return pages.withColumn("data_seq", F.lit(-1).cast("bigint"))
+        return pages.withColumn("data_seq",
+                                F.lit(_ANCIENT_SEQ).cast("bigint"))
     files = sorted((p, s) for p, s in path_seqs.items()
                    if p.endswith(".parquet"))
     dirs = sorted((p, s) for p, s in path_seqs.items()
@@ -599,7 +612,8 @@ def _attach_data_seq(spark: SparkSession, pages: DataFrame,
     else:
         pages = pages.withColumn("_dseq", F.lit(None).cast("bigint"))
     return (pages.withColumn(
-        "data_seq", F.coalesce("_fseq", "_dseq", F.lit(-1)).cast("bigint"))
+        "data_seq", F.coalesce("_fseq", "_dseq",
+                               F.lit(_ANCIENT_SEQ)).cast("bigint"))
         .drop("_fp", "_fd", "_fseq", "_dseq"))
 
 

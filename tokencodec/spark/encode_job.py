@@ -436,6 +436,24 @@ def next_extra_schema_chain(parent: dict | None, this_schema: dict) -> dict | No
     return dict(this_schema)
 
 
+def extra_schema_of(df: DataFrame) -> dict[str, str]:
+    """Validate and collect a source frame's EXTRA columns (everything
+    beyond the doc_id/tokens/n_tok/source core) — shared by encode and
+    upsert so the supported-type surface cannot diverge."""
+    core = {"doc_id", "tokens", "n_tok", "source"}
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name in core:
+            continue
+        t = f.dataType.simpleString()
+        if t not in _EXTRA_KINDS:
+            raise ValueError(
+                f"unsupported extra column {f.name}: {t} (supported: "
+                f"{sorted(_EXTRA_KINDS)}); drop it or cast before encode")
+        out[f.name] = t
+    return out
+
+
 def table_extra_schema(root: str, snapshot_id: int | None = None,
                        branch: str | None = None) -> dict[str, str]:
     """The merged extra-column schema visible at a snapshot: the chain
@@ -619,17 +637,7 @@ def encode(spark: SparkSession, df: DataFrame, out_root: str,
     if is_delete_group(group_prefix):
         raise ValueError(f"group_prefix '{group_prefix}' collides with "
                          "delete-manifest group keys")
-    core = {"doc_id", "tokens", "n_tok", "source"}
-    extra_schema: dict[str, str] = {}
-    for f in df.schema.fields:
-        if f.name in core:
-            continue
-        t = f.dataType.simpleString()
-        if t not in _EXTRA_KINDS:
-            raise ValueError(
-                f"unsupported extra column {f.name}: {t} (supported: "
-                f"{sorted(_EXTRA_KINDS)}); drop it or cast before encode")
-        extra_schema[f.name] = t
+    extra_schema = extra_schema_of(df)
     extra_cols = tuple(sorted(extra_schema.items()))
     tbl = SnapshotTable(out_root, branch=branch)
     done = set(tbl.committed_groups())

@@ -520,9 +520,8 @@ def resalt(spark: SparkSession, root: str, n_salts: int,
     scheme (the scheme metric is read from the target snapshot's own
     chain)."""
     from tokencodec.spark.decode_job import _scheme_from_manifest, decode
-    from tokencodec.spark.encode_job import (make_encoder, next_chain_max,
+    from tokencodec.spark.encode_job import (make_encoder,
                                              next_extra_schema_chain,
-                                             next_table_totals,
                                              table_extra_schema)
 
     if int(n_salts) <= 0:
@@ -592,7 +591,12 @@ def resalt(spark: SparkSession, root: str, n_salts: int,
         attached = True
     if not attached:
         raise ValueError(f"no data groups to resalt under {root}")
-    return tbl.commit(new_groups, metrics=m, replace=True)
+    # conflict validation: a concurrent append planned under the OLD
+    # n_salts must not be silently folded into the new scheme (its
+    # chunks would be mis-pruned by salt lookups) — refuse and let the
+    # operator re-run resalt against the advanced table
+    return tbl.commit(new_groups, metrics=m, replace=True,
+                      require_parent_id=snap["snapshot_id"])
 
 
 def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
@@ -618,7 +622,7 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     Bloom pruning keep working on the replacements."""
     import uuid as _uuid
     from tokencodec.spark.decode_job import _scheme_from_manifest
-    from tokencodec.spark.encode_job import (_EXTRA_KINDS, make_encoder,
+    from tokencodec.spark.encode_job import (extra_schema_of, make_encoder,
                                              next_chain_max,
                                              next_table_totals)
 
@@ -633,26 +637,36 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
             "upsert_docs requires a table with a committed salt_mod "
             "scheme (encode_job.encode writes one); this chain records "
             f"{scheme!r}")
-    core = {"doc_id", "tokens", "n_tok", "source"}
-    missing = core - set(df.columns)
+    # a delete manifest with NO sequence attribution (pre-seq engine,
+    # attribution expired without a side file) masks EVERY copy of its
+    # ids — it would hide this upsert's replacements, and a later purge
+    # would physically destroy them. Refuse rather than silently lose
+    # the upsert; purging applies those legacy deletes and clears them.
+    seqs = tbl.group_seqs(snap)
+    stale = sorted(k for k, ps in tbl.resolve_groups(snap).items()
+                   if is_delete_group(k) and ps and k not in seqs)
+    if stale:
+        raise ValueError(
+            f"upsert refused: delete manifest(s) {stale[:3]} carry no "
+            "sequence attribution (written before sequence tracking, or "
+            "attribution expired) and would mask these replacements "
+            "too; run purge_deletes first to apply them physically")
+    missing = {"doc_id", "tokens", "n_tok", "source"} - set(df.columns)
     if missing:
         raise ValueError(f"upsert frame lacks core columns {sorted(missing)}")
-    extra_schema = {}
-    for f in df.schema.fields:
-        if f.name in core:
-            continue
-        t = f.dataType.simpleString()
-        if t not in _EXTRA_KINDS:
-            raise ValueError(f"unsupported extra column {f.name}: {t}")
-        extra_schema[f.name] = t
+    extra_schema = extra_schema_of(df)
     extra_cols = tuple(sorted(extra_schema.items()))
     nonce = _uuid.uuid4().hex[:8]
     prefix = f"ups{nonce}-"
 
+    # the source frame feeds two jobs (the delete-manifest write and
+    # the re-encode) and may itself be an expensive pipeline: pin it
+    df = df.persist()
     # replacement ids -> delete manifest (same shape as delete_docs)
     ids_df = df.select("doc_id").distinct()
     n_ids = ids_df.count()
     if n_ids == 0:
+        df.unpersist()
         raise ValueError("empty upsert frame (use delete_docs for "
                          "pure deletions)")
     del_dir = tbl.new_run_dir()
@@ -682,6 +696,7 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     run_dir = tbl.new_run_dir()
     (pages.write.mode("overwrite")
      .option("compression", parquet_codec).parquet(run_dir))
+    df.unpersist()
     got = obs.get
     m = {k: int(got[k] or 0) for k in
          ("n_chunks", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
@@ -737,8 +752,9 @@ def _purge_batches(ids, uid_prefix: str):
                 off, data = views["page_doc_id"]
                 docs = _string_array(data[off[r]:off[r + 1]]).to_pylist()
                 if seq_mode:
+                    from tokencodec.spark.decode_job import _ANCIENT_SEQ
                     rs = batch.column(idx["data_seq"])[r].as_py()
-                    rs = -1 if rs is None else int(rs)
+                    rs = _ANCIENT_SEQ if rs is None else int(rs)
                     dead = [d in ids and ids[d] > rs for d in docs]
                 else:
                     dead = [d in ids for d in docs]
@@ -827,7 +843,7 @@ def purge_deletes(spark: SparkSession, root: str,
     # only strictly-older copies die — upsert replacements survive the
     # purge of the versions they superseded. Legacy chains keep the
     # global frozenset semantics byte-for-byte.
-    from tokencodec.spark.decode_job import _LEGACY_DEL_SEQ, _norm_path
+    from tokencodec.spark.decode_job import _LEGACY_DEL_SEQ
     seqs = tbl.group_seqs(snap)
     known = {k: seqs[k] for k in del_groups if k in seqs}
     if known:
@@ -836,7 +852,7 @@ def purge_deletes(spark: SparkSession, root: str,
             s = known.get(k, _LEGACY_DEL_SEQ)
             for r in (spark.read.schema("doc_id string").parquet(*ps)
                       .distinct().collect()):
-                ids[r[0]] = max(ids.get(r[0], -1), s)
+                ids[r[0]] = max(ids.get(r[0], -(1 << 62)), s)
     else:
         ids = frozenset(
             r[0] for r in spark.read.schema("doc_id string")
@@ -878,12 +894,11 @@ def purge_deletes(spark: SparkSession, root: str,
             pages = spark.read.schema(PAGES_DDL).parquet(*selected)
             sel_cols = list(_PAGES_TYPES)
             if known:
-                from tokencodec.spark.decode_job import _attach_data_seq
-                min_seq = min(known.values())
-                path_seqs = {_norm_path(p): s for g, s in seqs.items()
-                             if not is_delete_group(g) and s >= min_seq
-                             for p in grp_map.get(g, [])}
-                pages = _attach_data_seq(spark, pages, path_seqs)
+                from tokencodec.spark.decode_job import (_attach_data_seq,
+                                                         _path_seq_map)
+                pages = _attach_data_seq(
+                    spark, pages,
+                    _path_seq_map(grp_map, seqs, min(known.values())))
                 sel_cols = sel_cols + ["data_seq"]
             pages = pages.select(*sel_cols)
             out = pages.mapInArrow(_purge_batches(ids, uid_prefix),
@@ -1446,16 +1461,38 @@ def expire_snapshots(root: str, keep_last: int = 1,
             if not any(n.endswith(".parquet") for n in left):
                 tbl.fs.delete(d, recursive=True)
     # sequence-number attribution (table.group_seqs) must survive chain
-    # truncation, or a delete older than the retention window would
-    # start masking data that was committed AFTER it (upsert re-adds).
-    # Persist {group: first-commit seq} for the current groups into the
-    # side file BEFORE the dropped manifests disappear — but only while
-    # delete manifests exist: attribution is only consumed by delete
-    # masking, and data that expires attribution with NO active deletes
-    # correctly predates any future delete ("ancient" = masked).
-    cur_groups = tbl.resolve_groups(snaps[-1])
-    if any(is_delete_group(k) for k in cur_groups):
-        tbl.write_group_seqs(tbl.group_seqs(snaps[-1]))
+    # truncation for every snapshot that stays READABLE — retained
+    # window, kept history, tags — and still carries an ACTIVE (non-
+    # empty) delete manifest; otherwise a delete older than the
+    # retention window would start masking data committed AFTER it
+    # (upsert re-adds). Persist {group: first-commit seq} over the
+    # union of the survivors' groups BEFORE the dropped manifests
+    # disappear, merging the existing side file with a full pre-
+    # deletion ancestry walk (current chain + each tag's chain). With
+    # no active deletes anywhere in the surviving window the file is
+    # DROPPED: attribution only serves delete masking, and data whose
+    # attribution expires delete-free correctly predates any future
+    # delete ("ancient" = masked). Empty del groups left by purge
+    # mask nothing and hold no attribution alive.
+    survivors = keep + kept_hist + tagged
+    active_dels = any(is_delete_group(k) and ps
+                      for s in survivors
+                      for k, ps in tbl.resolve_groups(s).items())
+    if active_dels:
+        union_groups = {k for s in survivors
+                        for k in tbl.resolve_groups(s)}
+        attr = {k: v for k, v in tbl.read_group_seqs().items()
+                if k in union_groups}
+        walk = tbl.chain()
+        for t in tagged:
+            walk += tbl.chain(t["snapshot_id"])
+        for s in walk:  # oldest-first per chain; first-wins
+            if s.get("metrics", {}).get("op") in SnapshotTable._REWRITE_OPS:
+                continue
+            for k in s.get("new_groups", []):
+                if k in union_groups and k not in attr:
+                    attr[k] = s["snapshot_id"]
+        tbl.write_group_seqs(attr)
     elif tbl.fs.exists(tbl._group_seqs_path()):
         tbl.fs.delete(tbl._group_seqs_path())  # stale: no dels to serve
     for s in drop:

@@ -272,9 +272,10 @@ class SnapshotTable:
     # and are skipped; first-wins guards legacy rewrite snapshots), then
     # the group-seqs.json side file expire_snapshots maintains so
     # attribution survives chain truncation. A group absent from both is
-    # "ancient" (predates seq tracking): callers treat it as seq -1 for
-    # data (masked by every delete) and as +inf for delete groups
-    # (legacy global-masking semantics preserved).
+    # "ancient" (predates seq tracking): callers treat it as a deep
+    # negative for data (decode_job._ANCIENT_SEQ — masked by every
+    # delete, including deletes remapped below zero by a branch fork)
+    # and as +inf for delete groups (legacy global masking preserved).
 
     _REWRITE_OPS = frozenset({"compact", "purge", "rewrite_manifests",
                               "resalt"})
@@ -488,6 +489,25 @@ class SnapshotTable:
             fork["group_manifests"] = list(base["group_manifests"])
         bdir = self._branch_dir(name)
         self.fs.mkdirs(bdir)
+        # carry sequence attribution into the fork: the branch chain
+        # starts at a lone snapshot with new_groups=[], so without this
+        # side file a branch forked after an upsert would resolve
+        # group_seqs() == {} and fall back to legacy GLOBAL delete
+        # masking — silently hiding replaced/re-added docs that are
+        # visible on main. Carried seqs are REMAPPED order-preserving
+        # into the sub-zero band (main ids can exceed the branch's own
+        # ids, which restart at 1): every pre-fork group sorts below
+        # every branch commit, exactly the fork's timeline. Written
+        # before the fork manifest: a crash in between leaves only an
+        # unreferenced side file in a branch dir whose fork never
+        # landed.
+        attr = self.group_seqs(base)
+        if attr:
+            shift = base["snapshot_id"] + 2
+            attr = {g: s - shift for g, s in attr.items()}
+            self.fs.write_atomic(posixpath.join(bdir, "group-seqs.json"),
+                                 json.dumps(dict(sorted(attr.items())),
+                                            indent=1))
         try:
             self.fs.create_excl(self._snap_path_in(bdir, 0),
                                 json.dumps(fork, indent=1))
@@ -543,7 +563,8 @@ class SnapshotTable:
 
     def commit(self, new_groups: dict[str, list[str]], metrics: dict | None = None,
                replace: bool = False, retries: int = 3,
-               consolidate: bool = False) -> dict:
+               consolidate: bool = False,
+               require_parent_id: int | None = None) -> dict:
         """Append ``new_groups`` to the current snapshot atomically.
 
         ``consolidate=True`` forces the manifest-merge path regardless
@@ -572,6 +593,20 @@ class SnapshotTable:
         last_err: Exception | None = None
         for _ in range(retries + 1):
             parent = self.current_snapshot()
+            # conflict validation (Iceberg's validation-on-conflict):
+            # callers whose rewrite is only correct against the EXACT
+            # state they planned from (resalt changes the salt scheme
+            # every chunk must agree on) refuse to rebase onto a moved
+            # table instead of silently folding racing appends — whose
+            # chunks would carry the OLD scheme — into the new layout
+            if require_parent_id is not None:
+                pid = parent["snapshot_id"] if parent else None
+                if pid != require_parent_id:
+                    raise RuntimeError(
+                        f"concurrent commit: table advanced to snapshot "
+                        f"{pid} while this operation planned against "
+                        f"{require_parent_id}; re-run it against the "
+                        "current state")
             sid = parent["snapshot_id"] + 1 if parent else 0
             inline = dict(parent["groups"]) if parent else {}
             sets = list(parent.get("group_manifests", [])) if parent else []
@@ -656,6 +691,19 @@ class SnapshotTable:
                                     json.dumps(snap, indent=1))
             except FileExistsError as e:
                 last_err = e
+                occ = self._read_snap(sid)
+                if occ == snap:
+                    # ambiguous commit resolved: the occupant IS our own
+                    # manifest — the store-level PUT succeeded but its
+                    # response was lost and a client retry surfaced the
+                    # conditional-PUT conflict (e.g. boto3 retrying an
+                    # If-None-Match PUT whose first attempt landed).
+                    # This is a WIN: our spilled set files are
+                    # referenced and must NOT be reclaimed, and
+                    # retrying would self-collide on duplicate keys.
+                    self.fs.write_atomic(
+                        posixpath.join(self.manifest_dir, "CURRENT"), name)
+                    return snap
                 # set files spilled by THIS failed attempt can never be
                 # referenced by anyone else (uuid names, written only
                 # for the snapshot id we just lost): reclaim them now —
@@ -669,7 +717,6 @@ class SnapshotTable:
                                 self.groupsets_dir(), e_["name"]))
                         except Exception:
                             pass
-                occ = self._read_snap(sid)
                 if occ is None:
                     # the id is occupied by an unreadable file — with
                     # content-atomic claims that is external corruption
