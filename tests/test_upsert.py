@@ -327,3 +327,24 @@ def test_upsert_refuses_unattributed_deletes(spark, table):
     out = decode_job.decode(spark, root)
     assert decode_job.audit(df, out) == {"missing": 0, "extra": 0,
                                          "ok": True}
+
+
+def test_duplicate_branch_fork_cannot_clobber_attribution(spark, table):
+    """Carried attribution lives INSIDE the fork manifest (atomic with
+    the branch's existence): a duplicate create_branch — even after
+    main purged its deletes and expired its own attribution — fails
+    loudly and leaves the live branch's masking semantics untouched."""
+    root, df = table
+    targets = _targets(df, 3)
+    rep = (df.filter(F.col("doc_id").isin(targets))
+           .withColumn("tokens", F.reverse("tokens")))
+    maintenance.upsert_docs(spark, root, rep)
+    SnapshotTable(root).create_branch("audit")
+    # main moves on: purge + expire erase main-side attribution needs
+    maintenance.purge_deletes(spark, root)
+    maintenance.expire_snapshots(root, keep_last=1)
+    with pytest.raises(ValueError, match="already exists"):
+        SnapshotTable(root).create_branch("audit")
+    out = decode_job.decode(spark, root, branch="audit")
+    assert decode_job.audit(_replaced(df, targets), out) == {
+        "missing": 0, "extra": 0, "ok": True}

@@ -188,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
              "first; time travel below the resalt keeps the old scheme)")
     rs.add_argument("root")
     rs.add_argument("--n-salts", type=int, required=True)
+    rs.add_argument("--max-chunk-tokens", type=int, default=None,
+                    help="token budget for the rewritten chunks "
+                         "(default: the encoder's standard budget — "
+                         "pass the table's own budget to keep its "
+                         "chunk granularity)")
 
     prg = sub.add_parser(
         "purge",
@@ -466,8 +471,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res))
             return 0 if res["ok"] else 1
         elif args.cmd == "resalt":
-            from tokencodec.spark import maintenance
-            snap = maintenance.resalt(spark, args.root, args.n_salts)
+            from tokencodec.spark import maintenance, partition
+            snap = maintenance.resalt(
+                spark, args.root, args.n_salts,
+                max_chunk_tokens=(args.max_chunk_tokens
+                                  if args.max_chunk_tokens is not None
+                                  else partition.MAX_CHUNK_TOKENS))
             print(json.dumps({"snapshot_id": snap["snapshot_id"],
                               "metrics": snap["metrics"]}))
         elif args.cmd == "upsert":

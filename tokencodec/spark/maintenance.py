@@ -622,9 +622,7 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     Bloom pruning keep working on the replacements."""
     import uuid as _uuid
     from tokencodec.spark.decode_job import _scheme_from_manifest
-    from tokencodec.spark.encode_job import (extra_schema_of, make_encoder,
-                                             next_chain_max,
-                                             next_table_totals)
+    from tokencodec.spark.encode_job import extra_schema_of
 
     tbl = SnapshotTable(root, branch=branch)
     snap = tbl.current_snapshot()
@@ -661,12 +659,24 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
 
     # the source frame feeds two jobs (the delete-manifest write and
     # the re-encode) and may itself be an expensive pipeline: pin it
+    # (released in the finally below, error paths included)
     df = df.persist()
+    try:
+        return _upsert_pinned(spark, tbl, snap, df, scheme, extra_schema,
+                              extra_cols, nonce, prefix, max_chunk_tokens,
+                              parquet_codec)
+    finally:
+        df.unpersist()
+
+
+def _upsert_pinned(spark, tbl, snap, df, scheme, extra_schema, extra_cols,
+                   nonce, prefix, max_chunk_tokens, parquet_codec) -> dict:
+    from tokencodec.spark.encode_job import (make_encoder, next_chain_max,
+                                             next_table_totals)
     # replacement ids -> delete manifest (same shape as delete_docs)
     ids_df = df.select("doc_id").distinct()
     n_ids = ids_df.count()
     if n_ids == 0:
-        df.unpersist()
         raise ValueError("empty upsert frame (use delete_docs for "
                          "pure deletions)")
     del_dir = tbl.new_run_dir()
@@ -696,7 +706,6 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     run_dir = tbl.new_run_dir()
     (pages.write.mode("overwrite")
      .option("compression", parquet_codec).parquet(run_dir))
-    df.unpersist()
     got = obs.get
     m = {k: int(got[k] or 0) for k in
          ("n_chunks", "n_rows", "n_tokens", "raw_bytes", "enc_bytes",
@@ -738,7 +747,8 @@ def _purge_batches(ids, uid_prefix: str):
     seq_mode = isinstance(ids, dict)
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from tokencodec.spark.decode_job import _binary_views, _string_array
+        from tokencodec.spark.decode_job import (_ANCIENT_SEQ, _binary_views,
+                                                 _string_array)
         from tokencodec.spark.encode_job import _rows_to_batch
 
         for batch in it:
@@ -752,7 +762,6 @@ def _purge_batches(ids, uid_prefix: str):
                 off, data = views["page_doc_id"]
                 docs = _string_array(data[off[r]:off[r + 1]]).to_pylist()
                 if seq_mode:
-                    from tokencodec.spark.decode_job import _ANCIENT_SEQ
                     rs = batch.column(idx["data_seq"])[r].as_py()
                     rs = _ANCIENT_SEQ if rs is None else int(rs)
                     dead = [d in ids and ids[d] > rs for d in docs]
@@ -843,7 +852,7 @@ def purge_deletes(spark: SparkSession, root: str,
     # only strictly-older copies die — upsert replacements survive the
     # purge of the versions they superseded. Legacy chains keep the
     # global frozenset semantics byte-for-byte.
-    from tokencodec.spark.decode_job import _LEGACY_DEL_SEQ
+    from tokencodec.spark.decode_job import _ANCIENT_SEQ, _LEGACY_DEL_SEQ
     seqs = tbl.group_seqs(snap)
     known = {k: seqs[k] for k in del_groups if k in seqs}
     if known:
@@ -852,7 +861,7 @@ def purge_deletes(spark: SparkSession, root: str,
             s = known.get(k, _LEGACY_DEL_SEQ)
             for r in (spark.read.schema("doc_id string").parquet(*ps)
                       .distinct().collect()):
-                ids[r[0]] = max(ids.get(r[0], -(1 << 62)), s)
+                ids[r[0]] = max(ids.get(r[0], _ANCIENT_SEQ), s)
     else:
         ids = frozenset(
             r[0] for r in spark.read.schema("doc_id string")
@@ -1479,19 +1488,13 @@ def expire_snapshots(root: str, keep_last: int = 1,
                       for s in survivors
                       for k, ps in tbl.resolve_groups(s).items())
     if active_dels:
-        union_groups = {k for s in survivors
-                        for k in tbl.resolve_groups(s)}
-        attr = {k: v for k, v in tbl.read_group_seqs().items()
-                if k in union_groups}
-        walk = tbl.chain()
-        for t in tagged:
-            walk += tbl.chain(t["snapshot_id"])
-        for s in walk:  # oldest-first per chain; first-wins
-            if s.get("metrics", {}).get("op") in SnapshotTable._REWRITE_OPS:
-                continue
-            for k in s.get("new_groups", []):
-                if k in union_groups and k not in attr:
-                    attr[k] = s["snapshot_id"]
+        # one tested implementation (table.group_seqs) per survivor —
+        # it already merges side file + chain with rewrite-skip and
+        # first-wins, pruned to that snapshot's own groups
+        attr: dict[str, int] = {}
+        for s in survivors:
+            for k, v in tbl.group_seqs(s).items():
+                attr.setdefault(k, v)
         tbl.write_group_seqs(attr)
     elif tbl.fs.exists(tbl._group_seqs_path()):
         tbl.fs.delete(tbl._group_seqs_path())  # stale: no dels to serve

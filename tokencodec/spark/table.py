@@ -308,7 +308,13 @@ class SnapshotTable:
         groups = set(self.resolve_groups(snap))
         out = {k: v for k, v in self.read_group_seqs().items() if k in groups}
         for s in self.chain(snap["snapshot_id"]):  # oldest-first
-            if s.get("metrics", {}).get("op") in self._REWRITE_OPS:
+            m = s.get("metrics", {})
+            # attribution a branch fork carried in (create_branch):
+            # pre-fork seqs remapped below zero, atomic with the fork
+            for k, v in m.get("group_seqs", {}).items():
+                if k in groups and k not in out:
+                    out[k] = int(v)
+            if m.get("op") in self._REWRITE_OPS:
                 continue
             for k in s.get("new_groups", []):
                 if k in groups and k not in out:
@@ -489,25 +495,36 @@ class SnapshotTable:
             fork["group_manifests"] = list(base["group_manifests"])
         bdir = self._branch_dir(name)
         self.fs.mkdirs(bdir)
-        # carry sequence attribution into the fork: the branch chain
-        # starts at a lone snapshot with new_groups=[], so without this
-        # side file a branch forked after an upsert would resolve
-        # group_seqs() == {} and fall back to legacy GLOBAL delete
-        # masking — silently hiding replaced/re-added docs that are
-        # visible on main. Carried seqs are REMAPPED order-preserving
-        # into the sub-zero band (main ids can exceed the branch's own
-        # ids, which restart at 1): every pre-fork group sorts below
-        # every branch commit, exactly the fork's timeline. Written
-        # before the fork manifest: a crash in between leaves only an
-        # unreferenced side file in a branch dir whose fork never
-        # landed.
-        attr = self.group_seqs(base)
-        if attr:
-            shift = base["snapshot_id"] + 2
-            attr = {g: s - shift for g, s in attr.items()}
-            self.fs.write_atomic(posixpath.join(bdir, "group-seqs.json"),
-                                 json.dumps(dict(sorted(attr.items())),
-                                            indent=1))
+        # carry sequence attribution INSIDE the fork manifest: the
+        # branch chain starts at a lone snapshot with new_groups=[], so
+        # without carried attribution a branch forked after an upsert
+        # would resolve group_seqs() == {} and fall back to legacy
+        # GLOBAL delete masking — silently hiding replaced/re-added
+        # docs that are visible on main. Embedding it in the fork
+        # (rather than a side file) makes it atomic with the branch's
+        # existence: no clobber from a duplicate create_branch, no
+        # crash window leaving a fork without attribution. Carried
+        # seqs are REMAPPED order-preserving into the sub-zero band
+        # (main ids can exceed the branch's own, which restart at 1):
+        # every pre-fork group sorts below every branch commit.
+        # Attribution only matters while ACTIVE deletes exist (it
+        # exempts post-delete data from masking), so it is pruned to
+        # the delete groups plus data at/after the oldest known delete
+        # — the same bound decode's masking map uses.
+        base_groups = self.resolve_groups(base)
+        active = [k for k, ps in base_groups.items()
+                  if is_delete_group(k) and ps]
+        if active:
+            attr = self.group_seqs(base)
+            known = {k: attr[k] for k in active if k in attr}
+            if known:
+                min_seq = min(known.values())
+                shift = base["snapshot_id"] + 2
+                fork["metrics"]["group_seqs"] = {
+                    g: s - shift for g, s in sorted(attr.items())
+                    if is_delete_group(g) or s >= min_seq}
+            # all-legacy deletes: no attribution to carry — the branch
+            # falls back to global masking exactly like its base
         try:
             self.fs.create_excl(self._snap_path_in(bdir, 0),
                                 json.dumps(fork, indent=1))
