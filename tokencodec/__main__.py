@@ -385,7 +385,13 @@ def main(argv: list[str] | None = None) -> int:
                               ("snapshot_id", "new_groups", "timestamp_ms", "metrics")}))
         return 0
 
+    from pyspark.sql import SparkSession
+
     from tokencodec.spark.session import get_spark
+    # only stop a session this CLI invocation CREATED: getOrCreate
+    # returns any live session, and in-process callers (tests, library
+    # users driving the CLI) must get theirs back intact
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark("tokencodec-cli", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -530,7 +536,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"chunks": rep.count(), "bad": n_bad}))
             return 0 if n_bad == 0 else 1
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
     return 0
 
 

@@ -616,6 +616,14 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     needs; for pure takedown use ``delete_docs``, for bulk rewrite
     re-encode.
 
+    Branch note: ``branch=`` upserts commit onto that branch for
+    ISOLATED inspection (decode(branch=...)). They cannot be published
+    to main via publish_branch — a fast-forward can only ADD groups,
+    and an upsert logically modifies shared pre-fork data (the same
+    constraint Iceberg's fast-forward has). To land an audited upsert
+    on main, run the same upsert_docs against main: it is already
+    atomic, and replaying the identical frame is content-idempotent.
+
     ``df`` must carry the core columns (doc_id, tokens, n_tok, source);
     extra columns follow encode's schema-evolution rules. New chunks
     are bucketed under the TABLE's committed salt scheme, so salt and

@@ -692,13 +692,26 @@ class SnapshotTable:
                 else:
                     sets = sets + [self._write_groupset(inline)]
                 inline = {}
+            m = dict(metrics or {})
+            # the partitioning scheme is chain-invariant between resalt
+            # migrations, but only scheme-stamping commits (encode /
+            # upsert / resalt) used to carry it — a maintenance commit
+            # (delete, purge, compact) followed by expire_snapshots
+            # could truncate the chain past the last stamped one,
+            # silently disabling salt-derived lookup pruning and the
+            # append n_salts guard. Inherit the parent's scheme (O(1);
+            # self-perpetuating once any commit carries it).
+            if "scheme" not in m and parent is not None:
+                psch = parent.get("metrics", {}).get("scheme")
+                if psch:
+                    m["scheme"] = psch
             snap = {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "timestamp_ms": int(time.time() * 1000),
                 "groups": inline,
                 "new_groups": sorted(new_groups),
-                "metrics": metrics or {},
+                "metrics": m,
             }
             if sets:
                 snap["group_manifests"] = sets
