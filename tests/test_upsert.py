@@ -348,3 +348,31 @@ def test_duplicate_branch_fork_cannot_clobber_attribution(spark, table):
     out = decode_job.decode(spark, root, branch="audit")
     assert decode_job.audit(_replaced(df, targets), out) == {
         "missing": 0, "extra": 0, "ok": True}
+
+
+def test_branch_purge_is_isolated(spark, table):
+    """purge_deletes(branch=): a branch that audited an upsert cleans
+    up its own delete manifests — rewritten files land on the branch
+    chain only, replacements survive (seq-aware in the branch's
+    remapped timeline), and main's references and rows are untouched."""
+    root, df = table
+    SnapshotTable(root).create_branch("audit")
+    targets = _targets(df, 4)
+    rep = (df.filter(F.col("doc_id").isin(targets))
+           .withColumn("tokens", F.reverse("tokens")))
+    maintenance.upsert_docs(spark, root, rep, branch="audit")
+    snap = maintenance.purge_deletes(spark, root, branch="audit")
+    assert snap["metrics"]["op"] == "purge"
+    # branch: replacements intact, superseded copies physically gone
+    br = decode_job.decode(spark, root, branch="audit")
+    assert decode_job.audit(_replaced(df, targets), br) == {
+        "missing": 0, "extra": 0, "ok": True}
+    assert (decode_job.decode(spark, root, branch="audit",
+                              doc_ids=[targets[0]]).count() == 1)
+    # main: bit-identical original rows, no del manifests, no new refs
+    main = decode_job.decode(spark, root)
+    assert decode_job.audit(df, main) == {"missing": 0, "extra": 0,
+                                          "ok": True}
+    tbl = SnapshotTable(root)
+    assert not any(k.startswith("del:") for k in tbl.committed_groups())
+    assert fsck.fsck(spark, root).filter(~F.col("ok")).count() == 0

@@ -199,6 +199,10 @@ def main(argv: list[str] | None = None) -> int:
         help="physically rewrite files to drop rows covered by committed "
              "delete manifests")
     prg.add_argument("root")
+    prg.add_argument("--branch",
+                     help="purge THIS branch's delete manifests (branch "
+                          "chain only; shared files stay referenced by "
+                          "main untouched)")
 
     orph = sub.add_parser(
         "remove-orphans",
@@ -503,7 +507,8 @@ def main(argv: list[str] | None = None) -> int:
                               "metrics": snap.get("metrics", {})}))
         elif args.cmd == "purge":
             from tokencodec.spark import maintenance
-            snap = maintenance.purge_deletes(spark, args.root)
+            snap = maintenance.purge_deletes(spark, args.root,
+                                             branch=args.branch)
             print(json.dumps({"snapshot_id": snap["snapshot_id"],
                               "metrics": snap.get("metrics", {})}))
         elif args.cmd == "compact":

@@ -617,12 +617,14 @@ def upsert_docs(spark: SparkSession, root: str, df: DataFrame,
     re-encode.
 
     Branch note: ``branch=`` upserts commit onto that branch for
-    ISOLATED inspection (decode(branch=...)). They cannot be published
-    to main via publish_branch — a fast-forward can only ADD groups,
-    and an upsert logically modifies shared pre-fork data (the same
-    constraint Iceberg's fast-forward has). To land an audited upsert
-    on main, run the same upsert_docs against main: it is already
-    atomic, and replaying the identical frame is content-idempotent.
+    ISOLATED inspection (decode(branch=...));
+    ``purge_deletes(branch=...)`` cleans the branch up afterwards
+    without touching main. They cannot be published to main via
+    publish_branch — a fast-forward can only ADD groups, and an upsert
+    logically modifies shared pre-fork data (the same constraint
+    Iceberg's fast-forward has). To land an audited upsert on main,
+    run the same upsert_docs against main: it is already atomic, and
+    replaying the identical frame is content-idempotent.
 
     ``df`` must carry the core columns (doc_id, tokens, n_tok, source);
     extra columns follow encode's schema-evolution rules. New chunks
@@ -837,15 +839,23 @@ def _purge_batches(ids, uid_prefix: str):
 
 
 def purge_deletes(spark: SparkSession, root: str,
-                  parquet_codec: str = "zstd") -> dict:
+                  parquet_codec: str = "zstd",
+                  branch: str | None = None) -> dict:
     """Physically remove rows covered by committed DELETE manifests
     (Iceberg's rewrite-data-files over position/equality deletes):
     ONLY files whose chunk doc_id ranges overlap a deleted id are read
     and rewritten (metadata-scan file selection), the delete groups are
     replace-committed to empty, and the superseded files age out with
     snapshot expiry. Returns the new snapshot (or the current one when
-    there is nothing to purge)."""
-    tbl = SnapshotTable(root)
+    there is nothing to purge).
+
+    ``branch`` purges THAT branch's delete manifests: rewritten files
+    are committed on the branch chain only (shared pre-fork files stay
+    referenced by main untouched — a replace commit changes references,
+    never files), with attribution resolved in the branch's own
+    timeline (fork-carried sub-zero seqs included). This is how a
+    branch that audited an upsert cleans up without touching main."""
+    tbl = SnapshotTable(root, branch=branch)
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -953,7 +963,7 @@ def purge_deletes(spark: SparkSession, root: str,
         tot = {"n_chunks": 0, "n_rows": 0, "n_tokens": 0, "enc_bytes": 0,
                "max_doc_parts": 0}
     from tokencodec.spark.decode_job import _max_doc_parts_from_manifest
-    mdp = _max_doc_parts_from_manifest(root, None)
+    mdp = _max_doc_parts_from_manifest(root, None, branch=branch)
     if mdp is not None:
         tot["max_doc_parts"] = max(tot["max_doc_parts"], int(mdp))
     m = {**tot, "op": "purge", "n_delete_ids": len(ids),
