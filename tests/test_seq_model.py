@@ -115,3 +115,73 @@ def test_random_program_matches_reference_model(spark, tmp_path, seed):
     model.update(add)
     check("tail-app", "append-revive")
     assert ever_deleted is not None  # program bookkeeping intact
+
+@pytest.mark.parametrize("seed", [303])
+def test_random_branched_program_matches_dual_models(spark, tmp_path, seed):
+    """The branched variant: fork mid-program, then ops randomly
+    target main or the branch (append/delete/upsert/purge are
+    branch-capable), with BOTH sides checked against their own
+    reference model after every op — isolation in both directions and
+    the fork-carried sub-zero attribution under churn."""
+    from tokencodec.spark.table import SnapshotTable
+    rng = random.Random(seed)
+    root = str(tmp_path / "t")
+    all_ids = [f"doc-{i:06d}" for i in range(50)]
+    main = {d: _tokens(rng) for d in all_ids[:35]}
+    encode_job.encode(spark, _df(spark, main), root, commit_groups=1,
+                      n_salts=4, max_chunk_tokens=BUDGET, direct_write=True)
+    # a couple of deletes/upserts BEFORE the fork so the fork carries
+    # live attribution
+    pre = sorted(main)[:4]
+    maintenance.delete_docs(spark, root, pre[:2])
+    for d in pre[:2]:
+        del main[d]
+    batch = {pre[2]: _tokens(rng)}
+    maintenance.upsert_docs(spark, root, _df(spark, batch),
+                            max_chunk_tokens=BUDGET)
+    main.update(batch)
+    SnapshotTable(root).create_branch("b")
+    models = {None: main, "b": dict(main)}  # fork = exact copy
+
+    def check(step):
+        for br, model in models.items():
+            out = decode_job.decode(spark, root, branch=br)
+            r = decode_job.audit(_df(spark, model), out)
+            assert r == {"missing": 0, "extra": 0, "ok": True}, \
+                f"seed {seed} step {step} side {br or 'main'}: {r}"
+
+    check("fork")
+    for step in range(1, 11):
+        br = rng.choice([None, "b"])
+        model = models[br]
+        visible = sorted(model)
+        hidden = sorted(set(all_ids) - set(model))
+        op = rng.choice(["append", "delete", "upsert", "purge"])
+        if op == "append" and hidden:
+            add = {d: _tokens(rng)
+                   for d in rng.sample(hidden,
+                                       min(len(hidden), rng.randrange(1, 4)))}
+            encode_job.encode(spark, _df(spark, add), root,
+                              commit_groups=1,
+                              group_prefix=f"s{step}{br or 'm'}x",
+                              max_chunk_tokens=BUDGET, direct_write=True,
+                              branch=br)
+            model.update(add)
+        elif op == "delete" and visible:
+            batch = rng.sample(visible, min(len(visible),
+                                            rng.randrange(1, 4)))
+            maintenance.delete_docs(spark, root, batch, branch=br)
+            for d in batch:
+                del model[d]
+        elif op == "upsert":
+            pool = (rng.sample(visible, min(len(visible), 2))
+                    + rng.sample(hidden, min(len(hidden), 1)))
+            if not pool:
+                continue
+            batch = {d: _tokens(rng) for d in pool}
+            maintenance.upsert_docs(spark, root, _df(spark, batch),
+                                    max_chunk_tokens=BUDGET, branch=br)
+            model.update(batch)
+        elif op == "purge":
+            maintenance.purge_deletes(spark, root, branch=br)
+        check(step)

@@ -170,6 +170,9 @@ def main(argv: list[str] | None = None) -> int:
     dele.add_argument("root")
     dele.add_argument("doc_ids", help="comma-separated doc_ids, or @file "
                                       "with one id per line")
+    dele.add_argument("--branch",
+                      help="commit the delete manifest on THIS branch "
+                           "only (audit a takedown in isolation)")
 
     ups = sub.add_parser(
         "upsert",
@@ -502,7 +505,8 @@ def main(argv: list[str] | None = None) -> int:
                     ids = [line.strip() for line in f if line.strip()]
             else:
                 ids = [d for d in args.doc_ids.split(",") if d]
-            snap = maintenance.delete_docs(spark, args.root, ids)
+            snap = maintenance.delete_docs(spark, args.root, ids,
+                                           branch=args.branch)
             print(json.dumps({"snapshot_id": snap["snapshot_id"],
                               "metrics": snap.get("metrics", {})}))
         elif args.cmd == "purge":

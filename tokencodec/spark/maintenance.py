@@ -454,7 +454,8 @@ def _norm_uri(p: str) -> str:
     return p
 
 
-def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
+def delete_docs(spark: SparkSession, root: str, doc_ids,
+                branch: str | None = None) -> dict:
     """Row-level takedown (VERDICT r4 next #3 — Iceberg v2 equality
     deletes): commit a DELETE manifest of doc_ids. No data file is
     touched; decode() applies the deletes as a broadcast anti-join at
@@ -466,10 +467,11 @@ def delete_docs(spark: SparkSession, root: str, doc_ids) -> dict:
     Designed for takedown/PII-removal request sizes (the id set rides
     in a broadcast at decode and in task closures at purge); bulk
     filtering of a corpus belongs in an encode-time predicate, not
-    here."""
+    here. ``branch`` commits the manifest on that branch only (audit a
+    takedown in isolation; purge_deletes(branch=...) applies it)."""
     import uuid as _uuid
 
-    tbl = SnapshotTable(root)
+    tbl = SnapshotTable(root, branch=branch)
     snap = tbl.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
