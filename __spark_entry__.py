@@ -422,6 +422,54 @@ FROM t
 """
 
 
+def q_engine_branch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-isolated MERGE under the oracle: fork a branch off the
+    upsert-lifecycle root (_upsert_root — AFTER its main lifecycle, so
+    the fork carries sub-zero remapped attribution), atomically replace
+    docs with numeric id % 13 == 2 on the BRANCH only, and decode the
+    branch. The expected state is main's lifecycle (id % 13 == 0
+    reversed) PLUS the branch's own replacement (id % 13 == 2
+    reversed) — and since engine_upsert reads main from the same root,
+    the pair of rows proves isolation in both directions. Idempotent:
+    the fork is create-exclusive (skipped when present) and replaying
+    the same branch upsert converges."""
+    from tokencodec.spark import maintenance
+    from tokencodec.spark.table import SnapshotTable
+    root = _upsert_root(spark, sf_dir)
+    tbl = SnapshotTable(root)
+    if not any(b["name"] == "audit" for b in tbl.branches()):
+        tbl.create_branch("audit")
+    from tokencodec.spark import decode_job
+    br = SnapshotTable(root, branch="audit")
+    ops = [s.get("metrics", {}).get("op") for s in br.chain()]
+    if "upsert" not in ops:
+        df = _docs_token_df(spark, sf_dir)
+        num = F.substring("doc_id", 2, 9).cast("int")
+        maintenance.upsert_docs(
+            spark, root,
+            df.filter(num % 13 == 2)
+            .withColumn("tokens", F.reverse("tokens")),
+            max_chunk_tokens=64, branch="audit")
+    out = decode_job.decode(spark, root, branch="audit")
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+
+SQL_ENGINE_BRANCH_UPSERT = f"""
+WITH t AS ({_SQL_DOCS_TOKENS})
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+       md5(array_to_string(list_transform(
+           CASE WHEN CAST(substring(doc_id, 2) AS INT) % 13 IN (0, 2)
+                THEN list_reverse(toks) ELSE toks END,
+           x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM t
+"""
+
+
 def q_engine_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the oracle: encode the documents-derived table
     with a tiny budget (many under-filled chunks + split docs), rewrite
@@ -3067,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_point_lookup": q_engine_point_lookup,
         "engine_batch_lookup": q_engine_batch_lookup,
         "engine_upsert": q_engine_upsert,
+        "engine_branch_upsert": q_engine_branch_upsert,
         "engine_compact_roundtrip": q_engine_compact_roundtrip,
         "engine_decode_projection": q_engine_decode_projection,
         "engine_lineage": q_engine_lineage,
@@ -3139,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_point_lookup": SQL_ENGINE_POINT_LOOKUP,
         "engine_batch_lookup": SQL_ENGINE_BATCH_LOOKUP,
         "engine_upsert": SQL_ENGINE_UPSERT,
+        "engine_branch_upsert": SQL_ENGINE_BRANCH_UPSERT,
         "engine_compact_roundtrip": SQL_ENGINE_DECODE_ROWS,
         "engine_decode_projection": SQL_ENGINE_DECODE_PROJECTION,
         "engine_lineage": SQL_ENGINE_LINEAGE,
