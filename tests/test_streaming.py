@@ -99,3 +99,38 @@ def test_stateful_dedup_stream_ttl_expiry_readmits(spark, tmp_path):
     dup_ids = (final.groupBy("doc_id").agg(F.count("*").alias("k"))
                .filter("k = 2").count())
     assert dup_ids == 2
+
+
+def test_stream_readd_after_delete_is_visible(spark, tmp_path):
+    """Streaming micro-batch commits are sequence-attributed like any
+    append: a doc deleted between catch-up runs and re-ingested by a
+    LATER micro-batch is visible again (the delete masks only
+    strictly-older rows), and purge then removes exactly the old copy."""
+    from tokencodec.spark import maintenance
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "enc")
+    df1 = synth.token_table(spark, 120, seed=21).cache()
+    df1.write.mode("append").parquet(src)
+    streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 16)
+
+    gone = [r[0] for r in df1.select("doc_id").orderBy("doc_id")
+            .limit(2).collect()]
+    maintenance.delete_docs(spark, root, gone)
+    assert (decode_job.decode(spark, root)
+            .filter(F.col("doc_id").isin(gone)).count() == 0)
+
+    # the same ids return in a later micro-batch with NEW token streams
+    readd = (df1.filter(F.col("doc_id").isin(gone))
+             .withColumn("tokens", F.reverse("tokens")))
+    readd.write.mode("append").parquet(src)
+    streaming.encode_stream(spark, src, root, max_chunk_tokens=1 << 16)
+
+    exp = (df1.filter(~F.col("doc_id").isin(gone))
+           .unionByName(readd))
+    out = decode_job.decode(spark, root)
+    assert decode_job.audit(exp, out) == {"missing": 0, "extra": 0,
+                                          "ok": True}
+    maintenance.purge_deletes(spark, root)
+    out2 = decode_job.decode(spark, root)
+    assert decode_job.audit(exp, out2) == {"missing": 0, "extra": 0,
+                                           "ok": True}
