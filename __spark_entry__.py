@@ -664,6 +664,86 @@ FROM embeddings
 """
 
 
+def _footer_rg_stats(sf_dir: str, table: str,
+                     column: str) -> list[tuple[int, int, int]] | None:
+    """Per-row-group (min, max, rows) of an integer column from parquet
+    FOOTER statistics only — no data scan, no Spark job. None when the
+    source is not a local parquet file/dir or any row group lacks
+    min/max stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        paths = [path]
+    elif os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        return None
+    out: list[tuple[int, int, int]] = []
+    try:
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = None
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == column:
+                        st = c.statistics
+                        break
+                if st is None or not st.has_min_max \
+                        or not isinstance(st.min, int):
+                    return None
+                out.append((int(st.min), int(st.max), int(rg.num_rows)))
+    except Exception:
+        return None
+    return out or None
+
+
+def _footer_int_bounds(sf_dir: str, table: str, column: str,
+                       n_buckets: int) -> list[int] | None:
+    """Up to ``n_buckets - 1`` order-preserving bucket BOUNDS for an
+    integer key, from footer row-group stats only (no job): each row
+    group's rows are spread uniformly over its [min, max] range, the
+    piecewise-uniform CDF of the merged ranges is inverted at
+    i/n_buckets. Unlike a linear min/max split this balances CLUSTERED
+    keys — e.g. the bench's @Mx tables, whose id-shifted stripes are
+    separated by 10^12-wide gaps and collapse a linear split into a
+    handful of hot buckets (the window then runs on 4 straggler tasks
+    — the guide's skew signature)."""
+    stats = _footer_rg_stats(sf_dir, table, column)
+    if stats is None or n_buckets <= 1:
+        return None
+    # elementary intervals between sorted range endpoints; density of
+    # each interval = sum of active row groups' rows/(hi-lo+1)
+    events: dict[int, float] = {}
+    for lo, hi, rows in stats:
+        d = rows / float(hi - lo + 1)
+        events[lo] = events.get(lo, 0.0) + d
+        events[hi + 1] = events.get(hi + 1, 0.0) - d
+    xs = sorted(events)
+    total = float(sum(r for _, _, r in stats))
+    if total <= 0:
+        return None
+    bounds: list[int] = []
+    cum = 0.0
+    dens = 0.0
+    target_i = 1
+    for j in range(len(xs) - 1):
+        dens += events[xs[j]]
+        seg = dens * (xs[j + 1] - xs[j])
+        while target_i < n_buckets and cum + seg >= total * target_i / n_buckets:
+            frac = (total * target_i / n_buckets - cum) / seg if seg > 0 else 0.0
+            b = int(xs[j] + frac * (xs[j + 1] - xs[j]))
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+            target_i += 1
+        cum += seg
+    return bounds or None
+
+
 def _footer_int_range(sf_dir: str, table: str, column: str) -> tuple[int, int] | None:
     """(min, max) of an integer column from parquet FOOTER statistics
     only — no data scan, no Spark job (the driver-side metadata read
@@ -1554,8 +1634,23 @@ def q_rle_runs_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range planning at 100 TB; op #25 load-bearing stats). Fallback
     # for sources without usable footers: a single-column aggregate
     # broadcast back onto every row.
-    rng = _footer_int_range(sf_dir, "lineitem", "l_orderkey")
-    if rng is not None:
+    # quantile-balanced bounds, not a linear min/max split: clustered
+    # keys (the @Mx bench tables are id-shifted stripes with 10^12-wide
+    # gaps) collapse a linear split into a few hot buckets and the
+    # window serializes onto straggler tasks (guide §2.5 skew). 4x more
+    # distinct buckets than partitions so the hash repartition spreads
+    # them evenly (guide §2.5 on synthetic keys with too few values).
+    bnds = _footer_int_bounds(sf_dir, "lineitem", "l_orderkey", 4 * n_part)
+    rng = None if bnds is not None else _footer_int_range(
+        sf_dir, "lineitem", "l_orderkey")
+    if bnds is not None:
+        # flat codegen sum of comparisons (monotone in the key, so
+        # bucket ranges stay order-preserving); O(bounds) int compares
+        # per row, no HOF allocation
+        bkt = sum((F.col("l_orderkey") > F.lit(b)).cast("int")
+                  for b in bnds).alias("bkt")
+        base = li.select(*keys).withColumn("bkt", bkt)
+    elif rng is not None:
         lo, hi = rng
         width = max((hi - lo) // n_part + 1, 1)
         bkt = ((F.col("l_orderkey") - F.lit(lo)) / F.lit(width)).cast("int")

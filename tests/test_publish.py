@@ -121,3 +121,29 @@ def test_publish_merges_extra_schema(spark, tmp_path):
     # staged rows carry the value, pre-publish main rows back-fill NULL
     assert out.filter(F.col("rank").isNotNull()).count() == b.count()
     assert out.filter(F.col("rank").isNull()).count() == a.count()
+
+
+def test_publish_accepts_purged_deletes(spark, tmp_path):
+    """ADVICE r5 #1: only ACTIVE delete manifests refuse. A staging
+    table whose deletes were purged (purge_deletes leaves the del:* key
+    behind as an empty list forever) must publish — the former check
+    made any staging table that ever committed a delete permanently
+    unpublishable, even after following the error's own advice."""
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    _, a, b = _halves(spark, 60)
+    encode_job.encode(spark, a, main, commit_groups=1, max_chunk_tokens=512)
+    encode_job.encode(spark, b, stage, commit_groups=1, max_chunk_tokens=512,
+                      group_prefix="h")
+    victim = b.orderBy("doc_id").limit(1).select("doc_id")
+    maintenance.delete_docs(spark, stage, victim)
+    maintenance.purge_deletes(spark, stage)
+    # the del:* key survives purge as an empty list — must not refuse
+    assert any(k.startswith("del:") and not ps for k, ps in
+               SnapshotTable(stage).committed_groups().items())
+    snap = maintenance.publish_staged(main, stage)
+    # exhausted del keys are not adopted into main's namespace
+    assert not any(k.startswith("del:") for k in snap["groups"])
+    merged = decode_job.decode(spark, main)
+    want = a.unionByName(b.join(victim, "doc_id", "left_anti"))
+    assert decode_job.audit(want, merged)["ok"]

@@ -34,6 +34,20 @@ MAX_LEN = 8
 _SAMPLE_CAP = 1 << 16
 
 
+def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
+    """uint64 key per length-L window, bytes packed BIG-endian so the
+    integer sort order equals lexicographic byte order — np.unique /
+    searchsorted over these keys behave exactly like the former
+    void-dtype views (structured-compare sorts are several times
+    slower), so training and matching stay byte-identical."""
+    n = len(buf)
+    acc = np.zeros(n - L + 1, dtype=np.uint64)
+    for i in range(L):
+        acc <<= np.uint64(8)
+        acc |= buf[i:n - L + 1 + i]
+    return acc
+
+
 def train(data: bytes | np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     """Deterministic greedy symbol selection from a sample of ``data``."""
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, memoryview)) else data
@@ -42,17 +56,14 @@ def train(data: bytes | np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[byte
         # sample contiguous stripes (keeps local substrings intact)
         buf = np.concatenate([buf[i:i + 256] for i in range(0, len(buf), 256 * step)])
     counts: dict[bytes, int] = {}
-    raw = buf.tobytes()
-    n = len(raw)
+    n = len(buf)
     for L in (2, 3, 4, 6, 8):
         if n < L:
             continue
-        windows = np.lib.stride_tricks.sliding_window_view(buf, L)
-        view = np.ascontiguousarray(windows).view(np.dtype((np.void, L))).ravel()
-        uniq, cnt = np.unique(view, return_counts=True)
+        uniq, cnt = np.unique(_window_keys(buf, L), return_counts=True)
         keep = cnt >= 4
         for u, c in zip(uniq[keep], cnt[keep]):
-            counts[u.tobytes()] = int(c)
+            counts[int(u).to_bytes(L, "big")] = int(c)
     # gain = bytes saved if every (overlap-counted) occurrence matched
     scored = sorted(counts.items(), key=lambda kv: (-(len(kv[0]) - 1) * kv[1], kv[0]))
     return [s for s, _ in scored[:max_symbols]]
@@ -74,14 +85,15 @@ def encode(data: bytes | np.ndarray, symbols: list[bytes]) -> bytes:
         if L > n:
             continue
         syms = sorted(by_len[L])
-        sym_arr = np.frombuffer(b"".join(s for s, _ in syms), dtype=np.uint8)
-        sym_void = sym_arr.reshape(-1, L).copy().view(np.dtype((np.void, L))).ravel()
+        # big-endian uint64 keys: integer order == byte order (see
+        # _window_keys), so searchsorted matches the former void view
+        sym_keys = np.array([int.from_bytes(s, "big") for s, _ in syms],
+                            dtype=np.uint64)
         ids = np.array([i for _, i in syms], dtype=np.int64)
-        windows = np.lib.stride_tricks.sliding_window_view(buf, L)
-        view = np.ascontiguousarray(windows).view(np.dtype((np.void, L))).ravel()
-        pos = np.searchsorted(sym_void, view)
-        pos[pos == len(sym_void)] = 0
-        hit = sym_void[pos] == view
+        view = _window_keys(buf, L)
+        pos = np.searchsorted(sym_keys, view)
+        pos[pos == len(sym_keys)] = 0
+        hit = sym_keys[pos] == view
         hit &= match_len[: n - L + 1] == 0
         idx = np.flatnonzero(hit)
         match_len[idx] = L

@@ -1038,10 +1038,20 @@ def publish_staged(main_root: str, staging_root: str,
         raise ValueError(f"staging table {staging_root} has no "
                          "committed snapshot")
     s_groups = src.committed_groups()
-    if any(is_delete_group(k) for k in s_groups):
+    # only ACTIVE delete manifests refuse (matching every other call
+    # site): purge_deletes/compact leave exhausted del:* keys behind as
+    # empty lists forever, and refusing on those would make any staging
+    # table that EVER committed a delete unpublishable — even after
+    # following this very error's advice (ADVICE r5 #1)
+    if any(is_delete_group(k) and ps for k, ps in s_groups.items()):
         raise ValueError(
             "staging table carries delete manifests; purge them there "
             "(purge_deletes) before publishing")
+    # strip exhausted del:* keys from the adopted map: they carry no
+    # rows, and adopting the key would squat the main table's del
+    # namespace for no reason
+    s_groups = {k: ps for k, ps in s_groups.items()
+                if not is_delete_group(k)}
     sm = s_snap.get("metrics", {})
     s_totals = sm.get("table_totals")
     if s_totals is None:

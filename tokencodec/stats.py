@@ -60,11 +60,15 @@ def int_stats(values: np.ndarray) -> IntStats:
         run_coverage = 0
         run_len_bits = 0
 
+    # width of the zigzag(diff) stream from the diff's scalar min/max
+    # alone (zigzag is monotone on each sign: max over the stream is
+    # max(2*dmax, -2*dmin - 1)) — no zigzag array materialization, and
+    # the Python-int arithmetic cannot overflow where an int64 negation
+    # of INT64_MIN would
     d = np.diff(v)
-    # width of the actual zigzag stream, computed in uint64 space — a
-    # diff equal to INT64_MIN would overflow (and warn) under negation
-    from tokencodec.codecs.delta import zigzag
-    zz_max = int(zigzag(d).max())
+    dmin, dmax = int(d.min()), int(d.max())
+    zz_max = max(2 * dmax if dmax > 0 else 0,
+                 -2 * dmin - 1 if dmin < 0 else 0)
     zz_delta_bits = zz_max.bit_length() if zz_max else 1
 
     if n <= _SAMPLE:
