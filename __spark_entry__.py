@@ -702,46 +702,63 @@ def _footer_rg_stats(sf_dir: str, table: str,
     return out or None
 
 
-def _footer_int_bounds(sf_dir: str, table: str, column: str,
-                       n_buckets: int) -> list[int] | None:
-    """Up to ``n_buckets - 1`` order-preserving bucket BOUNDS for an
-    integer key, from footer row-group stats only (no job): each row
-    group's rows are spread uniformly over its [min, max] range, the
-    piecewise-uniform CDF of the merged ranges is inverted at
-    i/n_buckets. Unlike a linear min/max split this balances CLUSTERED
-    keys — e.g. the bench's @Mx tables, whose id-shifted stripes are
-    separated by 10^12-wide gaps and collapse a linear split into a
-    handful of hot buckets (the window then runs on 4 straggler tasks
-    — the guide's skew signature)."""
+def _footer_key_segments(sf_dir: str, table: str, column: str,
+                         max_segments: int = 8
+                         ) -> list[tuple[int, int, int]] | None:
+    """DENSE key segments [(lo, hi, rows), ...] of an integer column,
+    from footer row-group stats only (no job): row-group [min, max]
+    ranges are union-merged (a gap narrower than ~1% of the covered
+    width is noise), then greedily merged down to ``max_segments`` by
+    smallest gap. A uniformly keyed table collapses to ONE segment; a
+    striped table (e.g. the bench's @Mx unions, id-shifted copies
+    separated by 10^12-wide gaps) keeps one segment per stripe."""
     stats = _footer_rg_stats(sf_dir, table, column)
-    if stats is None or n_buckets <= 1:
+    if stats is None:
         return None
-    # elementary intervals between sorted range endpoints; density of
-    # each interval = sum of active row groups' rows/(hi-lo+1)
-    events: dict[int, float] = {}
-    for lo, hi, rows in stats:
-        d = rows / float(hi - lo + 1)
-        events[lo] = events.get(lo, 0.0) + d
-        events[hi + 1] = events.get(hi + 1, 0.0) - d
-    xs = sorted(events)
-    total = float(sum(r for _, _, r in stats))
-    if total <= 0:
-        return None
-    bounds: list[int] = []
-    cum = 0.0
-    dens = 0.0
-    target_i = 1
-    for j in range(len(xs) - 1):
-        dens += events[xs[j]]
-        seg = dens * (xs[j + 1] - xs[j])
-        while target_i < n_buckets and cum + seg >= total * target_i / n_buckets:
-            frac = (total * target_i / n_buckets - cum) / seg if seg > 0 else 0.0
-            b = int(xs[j] + frac * (xs[j + 1] - xs[j]))
-            if not bounds or b > bounds[-1]:
-                bounds.append(b)
-            target_i += 1
-        cum += seg
-    return bounds or None
+    iv = sorted(stats)
+    covered = sum(hi - lo + 1 for lo, hi, _ in iv)
+    tol = max(1, covered // 100)
+    merged: list[list[int]] = []
+    for lo, hi, rows in iv:
+        if merged and lo <= merged[-1][1] + tol:
+            merged[-1][1] = max(merged[-1][1], hi)
+            merged[-1][2] += rows
+        else:
+            merged.append([lo, hi, rows])
+    while len(merged) > max_segments:
+        gaps = [merged[i + 1][0] - merged[i][1]
+                for i in range(len(merged) - 1)]
+        i = gaps.index(min(gaps))
+        merged[i] = [merged[i][0], max(merged[i][1], merged[i + 1][1]),
+                     merged[i][2] + merged[i + 1][2]]
+        del merged[i + 1]
+    return [tuple(s) for s in merged]
+
+
+def _segment_bucket_expr(col, segments: list[tuple[int, int, int]],
+                         n_buckets: int):
+    """Order-preserving bucket id over dense key segments: buckets are
+    allocated to segments proportionally to their row mass, and within
+    a segment the id is linear in the key — O(segments) WHEN branches
+    per row (segments are capped at 8), NOT O(buckets) comparisons (a
+    flat sum of 100+ comparison terms measurably falls off the codegen
+    cliff). Monotone in the key by construction: per-segment ranges are
+    clamped into [base, base + nb - 1] and bases ascend."""
+    total = sum(r for _, _, r in segments) or 1
+    expr = None
+    base = 0
+    last_top = 0
+    for i, (lo, hi, rows) in enumerate(segments):
+        nb = max(1, round(n_buckets * rows / total)) if i < len(segments) - 1 \
+            else max(1, n_buckets - base)
+        width = max((hi - lo) // nb + 1, 1)
+        off = ((col - F.lit(lo)) / F.lit(width)).cast("int")
+        val = F.lit(base) + F.least(F.greatest(off, F.lit(0)), F.lit(nb - 1))
+        cond = col <= F.lit(hi)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        last_top = base + nb - 1
+        base += nb
+    return expr.otherwise(F.lit(last_top))
 
 
 def _footer_int_range(sf_dir: str, table: str, column: str) -> tuple[int, int] | None:
@@ -1634,21 +1651,22 @@ def q_rle_runs_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range planning at 100 TB; op #25 load-bearing stats). Fallback
     # for sources without usable footers: a single-column aggregate
     # broadcast back onto every row.
-    # quantile-balanced bounds, not a linear min/max split: clustered
+    # segment-aware buckets, not a bare linear min/max split: clustered
     # keys (the @Mx bench tables are id-shifted stripes with 10^12-wide
-    # gaps) collapse a linear split into a few hot buckets and the
-    # window serializes onto straggler tasks (guide §2.5 skew). 4x more
-    # distinct buckets than partitions so the hash repartition spreads
-    # them evenly (guide §2.5 on synthetic keys with too few values).
-    bnds = _footer_int_bounds(sf_dir, "lineitem", "l_orderkey", 4 * n_part)
-    rng = None if bnds is not None else _footer_int_range(
+    # gaps) collapse a linear split over the global range into a few
+    # hot buckets and the window serializes onto straggler tasks
+    # (guide §2.5 skew). Footer row-group stats merge into <= 8 dense
+    # segments (ONE for a uniformly keyed table — identical balance to
+    # the old linear split); buckets are dealt to segments by row mass
+    # and the id is linear within each, so the expression stays O(1)-ish
+    # per row. 4x more distinct buckets than partitions so the hash
+    # repartition spreads them evenly (guide §2.5 on synthetic keys
+    # with too few distinct values).
+    segs = _footer_key_segments(sf_dir, "lineitem", "l_orderkey")
+    rng = None if segs is not None else _footer_int_range(
         sf_dir, "lineitem", "l_orderkey")
-    if bnds is not None:
-        # flat codegen sum of comparisons (monotone in the key, so
-        # bucket ranges stay order-preserving); O(bounds) int compares
-        # per row, no HOF allocation
-        bkt = sum((F.col("l_orderkey") > F.lit(b)).cast("int")
-                  for b in bnds).alias("bkt")
+    if segs is not None:
+        bkt = _segment_bucket_expr(F.col("l_orderkey"), segs, 4 * n_part)
         base = li.select(*keys).withColumn("bkt", bkt)
     elif rng is not None:
         lo, hi = rng

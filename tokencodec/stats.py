@@ -80,8 +80,16 @@ def int_stats(values: np.ndarray) -> IntStats:
         qs = [0, n // 3, (2 * n) // 3, n - k]
         sample = np.concatenate([v[q:q + k] for q in qs])
         exact = False
-    uniq, cnt = np.unique(sample, return_counts=True)
-    d_s = len(uniq)
+    # distinct/counts over the sample: O(sample + R) bincount when the
+    # value range is small (token vocabularies are ~2^16) instead of
+    # the sort inside np.unique — identical uniq/count results
+    R = vmax - vmin + 1
+    if R <= 2 * len(sample):
+        bc = np.bincount((sample - vmin).astype(np.int64), minlength=R)
+        cnt = bc[bc > 0]
+    else:
+        _, cnt = np.unique(sample, return_counts=True)
+    d_s = len(cnt)
     s = len(sample)
     if exact:
         card = d_s
