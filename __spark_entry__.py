@@ -3219,7 +3219,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver's execution order, and the driver's
+    correctness budget can run out before the tail (round 5 verified
+    only the first 50 of 68). So: the 18 entries the r05 driver never
+    reached run FIRST — 17 of them fixture-free (they read the sf
+    tables directly), then pack_shuffle_epoch (the one tail query that
+    encodes a fixture) — followed by the cheap relational queries, with
+    the heavy engine-lifecycle fixtures (each encodes tables inside the
+    driver run) LAST: their 24 rows were green in r05 and every fixture
+    is _ENGINE_CACHE-shared, so a budget cutoff now costs the
+    longest-stable evidence instead of the newest."""
     return {
+        # -- r05 driver-unverified tail, fixture-free, runs first
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_decontaminate": q_text_decontaminate,
+        "sample_mixture": q_sample_mixture,
+        "sample_split": q_sample_split,
+        "text_scrub_blocklist": q_text_scrub_blocklist,
+        "corpus_stats": q_corpus_stats,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ivf_assign": q_ivf_assign,
+        "ivf_search": q_ivf_search,
+        "ivf_recall": q_ivf_recall,
+        "mm_decode_meta": q_mm_decode_meta,
+        "mm_embed_norm": q_mm_embed_norm,
+        "mm_frame_sample": q_mm_frame_sample,
+        # -- the one unverified entry with a fixture (packed root)
+        "pack_shuffle_epoch": q_pack_shuffle_epoch,
+        # -- relational codec analogs / pipeline queries (cheap)
+        "schema_flatten": q_schema_flatten,
+        "json_sink_roundtrip": q_json_sink_roundtrip,
+        "dict_encode_source": q_dict_encode_source,
+        "rle_runs_returnflag": q_rle_runs_returnflag,
+        "for_offsets_orders": q_for_offsets_orders,
+        "bitwidth_partkey": q_bitwidth_partkey,
+        "codec_selection_stats": q_codec_selection_stats,
+        "delta_encode_events": q_delta_encode_events,
+        "varint_size_orders": q_varint_size_orders,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_customers": q_join_top_customers,
+        "window_running_value": q_window_running_value,
+        "setop_region_coverage": q_setop_region_coverage,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        # -- engine lifecycle (heavy fixtures, r05-green, shared roots)
         "engine_encode_metrics": q_engine_encode_metrics,
         "engine_encode_metrics_docs": q_engine_encode_metrics_docs,
         "engine_roundtrip_audit": q_engine_roundtrip_audit,
@@ -3249,45 +3302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_decode_after_delete": q_engine_decode_after_delete,
         "engine_schema_evolution": q_engine_schema_evolution,
         "engine_fsck": q_engine_fsck,
-        "schema_flatten": q_schema_flatten,
-        "json_sink_roundtrip": q_json_sink_roundtrip,
-        "dict_encode_source": q_dict_encode_source,
-        "rle_runs_returnflag": q_rle_runs_returnflag,
-        "for_offsets_orders": q_for_offsets_orders,
-        "bitwidth_partkey": q_bitwidth_partkey,
-        "codec_selection_stats": q_codec_selection_stats,
-        "delta_encode_events": q_delta_encode_events,
-        "varint_size_orders": q_varint_size_orders,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_top_customers": q_join_top_customers,
-        "window_running_value": q_window_running_value,
-        "setop_region_coverage": q_setop_region_coverage,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "text_decontaminate": q_text_decontaminate,
-        "sample_mixture": q_sample_mixture,
-        "sample_split": q_sample_split,
-        "text_scrub_blocklist": q_text_scrub_blocklist,
-        "corpus_stats": q_corpus_stats,
-        "corpus_filter_pipeline": q_corpus_filter_pipeline,
-        "pack_shuffle_epoch": q_pack_shuffle_epoch,
-        "knn_cosine": q_knn_cosine,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ivf_assign": q_ivf_assign,
-        "ivf_search": q_ivf_search,
-        "ivf_recall": q_ivf_recall,
-        "mm_decode_meta": q_mm_decode_meta,
-        "mm_embed_norm": q_mm_embed_norm,
-        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
