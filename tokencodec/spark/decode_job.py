@@ -23,8 +23,10 @@ fast source. `audit` consumes either representation.
 
 `audit` is the engine's analog of the golden round-trip assert
 (/root/reference/tests/integration/Spec.hs:96-98): per-row token-array
-equality. Fast path: ONE aggregate per side over per-row xxhash64
-(count + hash sum + hash xor), no shuffle of row data at all; the
+equality. Fast path: ONE side-tagged aggregate job over per-row
+xxhash64 (count + hash sum + hash xor per side), no shuffle of row
+data at all — and because both sides' scan subtrees live in one job,
+their stages overlap instead of running back-to-back; the
 double-exceptAll diff runs only when the signatures disagree
 (strict=True forces it).
 """
@@ -885,35 +887,43 @@ def decode(spark: SparkSession, root: str,
     return out.select(*req)
 
 
-def _signature(df: DataFrame):
-    """One-pass order-insensitive multiset signature: (count, sum of
-    per-row xxhash64 in decimal space — no overflow — and xor)."""
-    from pyspark.sql import functions as F
-
-    h = F.xxhash64(*df.columns)
-    return df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
-        F.bit_xor(h).alias("hxor")).collect()[0]
-
-
 def audit(original: DataFrame, decoded: DataFrame, strict: bool = False) -> dict:
     """Distributed per-row equality (token-array equality invariant).
 
     Fast path (default): compare per-side aggregate signatures — each
     side is scanned ONCE with a partial-aggregate plan (no shuffle of
     row data, only one tiny merge exchange), versus exceptAll's two full
-    shuffles of both tables. On signature mismatch (or strict=True) the
-    exact exceptAll diff runs to report row counts.
+    shuffles of both tables; both sides run inside ONE job so their
+    stages overlap. On signature mismatch (or strict=True) the exact
+    exceptAll diff runs to report row counts.
     """
+    from pyspark.sql import functions as F
+
     cols = [c for c in ALL_COLUMNS if c in original.columns]
     # schema-evolved extras: compared when both sides carry them
     cols += sorted(c for c in original.columns
                    if c not in cols and c in decoded.columns)
     if not strict:
-        a = _signature(original.select(*cols))
-        b = _signature(decoded.select(*cols))
-        if tuple(a) == tuple(b):
+        # BOTH sides' signatures in ONE job (side-tagged union): the
+        # two scan subtrees are independent, so Spark schedules their
+        # stages concurrently and the decode side back-fills executors
+        # the source side's task tail leaves idle (guide §2.6) —
+        # versus two sequential _signature jobs, each under-filling
+        # the cluster in its tail. Per-row hash and aggregates are
+        # unchanged, so the verdict is bit-identical to the two-job
+        # form.
+        h = F.xxhash64(*cols)
+        rows = (original.select(*cols).withColumn("_side", F.lit(0))
+                .unionByName(
+                    decoded.select(*cols).withColumn("_side", F.lit(1)))
+                .groupBy("_side")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(h.cast("decimal(38,0)")).alias("hsum"),
+                     F.bit_xor(h).alias("hxor"))
+                .collect())
+        sig = {r["_side"]: (r["n"], r["hsum"], r["hxor"]) for r in rows}
+        empty = (0, None, None)
+        if sig.get(0, empty) == sig.get(1, empty):
             return {"missing": 0, "extra": 0, "ok": True}
     # exceptAll is POSITIONAL: align both sides on the shared column
     # list (decode emits extras in sorted order, which need not match
