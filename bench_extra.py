@@ -5,9 +5,11 @@ host-invariant interleaved A/B of VERDICT r5 next #2/#8).
 Usage:
   python bench_extra.py ab [prev_tree] [n_rows] [rounds]
       Interleaved A/B of the three engine walls (encode / decode packed
-      / audit) between PREV_TREE (default: a git worktree of the
-      round-start commit, created if missing) and THIS tree, at the
-      N-row synth corpus (default 1600000 = the sf1.0 @4x corpus).
+      / audit) between PREV_TREE (a git worktree of the comparison
+      commit — e.g. `git worktree add /tmp/r5tree <round-start-sha>`)
+      and THIS tree, at the N-row synth corpus (default 1600000 = the
+      sf1.0 @4x corpus). AB_REPS (default 2) sets min-of-reps inside
+      each child.
       Alternating subprocess runs on one host, min-of-rounds — the
       protocol BASELINE.md's 5b-vs-5 A/B used, generalized, so
       cross-round comparisons stop depending on host-day state.
@@ -71,6 +73,10 @@ def _run_tree(tree: str, n_rows: int) -> dict:
 
 
 def ab(prev_tree: str, n_rows: int, rounds: int) -> None:
+    if not os.path.isdir(os.path.join(prev_tree, "tokencodec")):
+        raise SystemExit(
+            f"{prev_tree} is not a tokencodec tree; create one with "
+            f"`git worktree add {prev_tree} <comparison-sha>`")
     res = {"prev": [], "head": []}
     for i in range(rounds):
         # alternate order each round so warm-cache bias cancels

@@ -30,5 +30,15 @@ def get_spark(app: str = "tokencodec", cores: int | None = None,
                                "/dev/shm/tokencodec-spark"
                                if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
+        # snapshot commits reference exact data FILES (direct task-side
+        # writes: one file per task-group), so a decode plan hands the
+        # reader hundreds of file paths. Above this threshold Spark
+        # launches a distributed LISTING JOB per plan build — ~0.7 s of
+        # the ~1.5 s point-lookup wall at a 214-file table, paid by
+        # EVERY fresh decode. Driver-side sequential listing is cheap
+        # into the thousands of paths on local/HDFS-like stores; very
+        # large object-store tables can lower this back via the env.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("TOKENCODEC_LIST_JOB_THRESHOLD", "10000"))
         .getOrCreate()
     )
