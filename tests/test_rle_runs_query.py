@@ -96,3 +96,55 @@ def test_random_flags_match_bruteforce(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert got == expected, (parts, got, expected)
+
+
+def test_striped_keys_balance_and_match_bruteforce(spark, tmp_path):
+    """Round-6 skew fix: id-shifted striped key spaces (the @Mx bench
+    shape — stripes separated by huge gaps) must (a) still produce the
+    exact oracle answer and (b) split into one dense segment per
+    stripe so buckets balance by row mass instead of collapsing into
+    one hot bucket per stripe."""
+    parts = []
+    for i in range(4):
+        parts.append(
+            spark.range(2000)
+            .select((F.col("id") + i * 10**12).alias("l_orderkey"),
+                    F.lit(1).alias("l_linenumber"),
+                    F.when((F.col("id") / 5).cast("int") % 2 == 0, "A")
+                    .otherwise("B").alias("l_returnflag"),
+                    F.lit(0).alias("l_partkey"), F.lit(0).alias("l_suppkey"),
+                    F.lit(0.0).alias("l_extendedprice")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    path = str(tmp_path)
+    # one file per stripe, like the bench's scaled tables
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, "lineitem.parquet"))
+    segs = entrymod._footer_key_segments(path, "lineitem", "l_orderkey")
+    assert segs is not None and len(segs) == 4
+    assert [s[2] for s in segs] == [2000] * 4
+    # bucket expr is monotone in the key and spreads each stripe
+    bkt = entrymod._segment_bucket_expr(F.col("l_orderkey"), segs, 128)
+    rows = (u.select("l_orderkey", bkt.alias("b"))
+            .orderBy("l_orderkey").collect())
+    bs = [r["b"] for r in rows]
+    assert bs == sorted(bs)
+    assert len(set(bs)) > 32  # not a handful of hot buckets
+    # exact answer vs brute force on the collected flag sequence
+    flags = [r for _, r in sorted(
+        (rr["l_orderkey"], rr["l_returnflag"]) for rr in u.collect())]
+    runs = []
+    for f in flags:
+        if runs and runs[-1][0] == f:
+            runs[-1][1] += 1
+        else:
+            runs.append([f, 1])
+    want = {}
+    for f, ln in runs:
+        n, mx, tot = want.get(f, (0, 0, 0))
+        want[f] = (n + 1, max(mx, ln), tot + ln)
+    got = {r["l_returnflag"]: (r["n_runs"], r["max_run"], r["n_values"])
+           for r in entrymod.q_rle_runs_returnflag(spark, path).collect()}
+    assert got == want
