@@ -703,7 +703,7 @@ def _footer_rg_stats(sf_dir: str, table: str,
 
 
 def _footer_key_segments(sf_dir: str, table: str, column: str,
-                         max_segments: int = 8
+                         max_segments: int = 16
                          ) -> list[tuple[int, int, int]] | None:
     """DENSE key segments [(lo, hi, rows), ...] of an integer column,
     from footer row-group stats only (no job): row-group [min, max]
@@ -711,7 +711,10 @@ def _footer_key_segments(sf_dir: str, table: str, column: str,
     width is noise), then greedily merged down to ``max_segments`` by
     smallest gap. A uniformly keyed table collapses to ONE segment; a
     striped table (e.g. the bench's @Mx unions, id-shifted copies
-    separated by 10^12-wide gaps) keeps one segment per stripe."""
+    separated by 10^12-wide gaps) keeps one segment per stripe. The
+    cap bounds the WHEN-chain bucket expression; 16 measured as cheap
+    as 8 at base scale while halving a 10-stripe table's wall (stripes
+    past the cap merge and their rows re-collapse into few buckets)."""
     stats = _footer_rg_stats(sf_dir, table, column)
     if stats is None:
         return None
