@@ -721,3 +721,53 @@ def test_azure_snapshot_lifecycle_and_fs_for(monkeypatch):
     monkeypatch.setattr(fsio, "HadoopFS", lambda root: sentinel)
     assert fs_for(f"wasbs://cont@{FakeAzure.HOST}/t",
                   allow_unsafe=True) is sentinel
+
+
+def test_azure_ambiguous_409_retries_then_head_confirms():
+    """ADVICE r5 #3: a 409 with an absent/unparseable XML <Code> (proxy
+    or transient conflict) must NOT be reported as a lost commit race
+    on a key that doesn't exist — commit() would read back nothing and
+    raise the 'external corruption' error. Like S3's in-flight path:
+    bounded retry; PreconditionFailed only once the blob provably
+    exists; otherwise the HTTP error surfaces for the caller."""
+    from tokencodec.spark.objectstore import AzureBlobClient
+    fake = FakeAzure()
+
+    calls = {"n": 0}
+
+    def flaky(method, url, data, headers):
+        if method == "PUT" and calls["n"] < 2:
+            calls["n"] += 1
+            return 409, {}, b"no xml body here"
+        return fake(method, url, data, headers)
+
+    c = AzureBlobClient(FakeAzure.HOST, "cont", transport=flaky,
+                        token_provider=lambda: "t0k", sas_token="")
+    c._BACKOFF_409 = 0.001
+    c.put("amb/k", b"v", if_none_match=True)  # retried through the 409s
+    assert c.get("amb/k") == b"v"
+
+    # persistent codeless 409 while the blob EXISTS: a real lost race
+    def conflict_exists(method, url, data, headers):
+        if method == "PUT":
+            return 409, {}, b""
+        return fake(method, url, data, headers)
+
+    c2 = AzureBlobClient(FakeAzure.HOST, "cont", transport=conflict_exists,
+                         token_provider=lambda: "t0k", sas_token="")
+    c2._BACKOFF_409 = 0.001
+    with pytest.raises(PreconditionFailed):
+        c2.put("amb/k", b"v2", if_none_match=True)
+
+    # persistent codeless 409, blob ABSENT: surface the HTTP error,
+    # never a lost-race verdict
+    def conflict_absent(method, url, data, headers):
+        if method == "PUT":
+            return 409, {}, b""
+        return 404, {}, b""
+
+    c3 = AzureBlobClient(FakeAzure.HOST, "cont", transport=conflict_absent,
+                         token_provider=lambda: "t0k", sas_token="")
+    c3._BACKOFF_409 = 0.001
+    with pytest.raises(RuntimeError, match="HTTP 409"):
+        c3.put("amb/other", b"v", if_none_match=True)

@@ -470,20 +470,40 @@ class AzureBlobClient:
         return m.group(1).decode("ascii", "replace") if m else ""
 
     # --------------------------------------------------------- protocol
+    _RETRIES_409 = 5
+    _BACKOFF_409 = 0.05
+
     def put(self, key: str, data: bytes, if_none_match: bool = False) -> None:
         headers = {"x-ms-blob-type": "BlockBlob",
                    "Content-Type": "application/octet-stream"}
         if if_none_match:
             headers["If-None-Match"] = "*"
-        status, _, body = self._call("PUT", self._url(key), data, headers)
-        if if_none_match and (
-                status == 412
-                or (status == 409
-                    and self._error_code(body) in ("BlobAlreadyExists", ""))):
-            raise PreconditionFailed(key)
-        if status // 100 != 2:
-            raise RuntimeError(f"Azure PUT {key}: HTTP {status} "
-                               f"{body[:200]!r}")
+        for attempt in range(self._RETRIES_409 + 1):
+            status, _, body = self._call("PUT", self._url(key), data, headers)
+            if status // 100 == 2:
+                return
+            if not if_none_match:
+                break
+            # 412, or a 409 whose XML code SAYS the blob exists: a
+            # genuine lost race, which commit() handles by rebasing
+            if status == 412 or (status == 409 and
+                                 self._error_code(body) == "BlobAlreadyExists"):
+                raise PreconditionFailed(key)
+            # ambiguous 409 (absent/unparseable <Code> — a proxy or
+            # transient conflict): declaring a lost race here would
+            # make commit() read back an absent key and wrongly report
+            # external corruption. Like S3's in-flight-conflict path
+            # (ADVICE r5 #3): bounded retry, then PreconditionFailed
+            # only once the blob provably exists.
+            if status == 409:
+                if attempt < self._RETRIES_409:
+                    time.sleep(self._BACKOFF_409 * (1 << attempt))
+                    continue
+                if self.head(key) is not None:
+                    raise PreconditionFailed(key)
+            break
+        raise RuntimeError(f"Azure PUT {key}: HTTP {status} "
+                           f"{body[:200]!r}")
 
     def get(self, key: str) -> bytes:
         status, _, body = self._call("GET", self._url(key))
